@@ -1,0 +1,173 @@
+"""Batched FracMinHash protein sketching on TPU (pure-JAX reference path).
+
+This is the TPU-native re-design of kmerseek's hot loop — the window /
+encode / murmur64 / scaled-filter pipeline that the reference runs once
+inside sourmash's ``KmerMinHash::add_protein`` and again in
+``ProteomeIndex::process_kmers`` (/root/reference/src/rust/index.rs:749-786,
+signature.rs:273-282). Here the whole batch of sequences is processed in
+one fused, shape-static XLA program:
+
+  (B, L) uint8 residues ── LUT encode ──► (B, L) encoded bytes
+        ── k shifted views ──► murmur3 x64_128 first-lane per window
+        ── scaled filter (hash ≤ max_hash) ──► keep mask (B, W)
+        ── sort + run-length dedup + scatter compaction ──►
+  (B, S) sorted unique hashes ("mins") + int32 abundances + counts
+
+Everything is elementwise/sort/scatter — VPU work; there is no
+data-dependent shape anywhere (ragged outputs are carried as dense
+(B, S) arrays + per-row counts, with S a static capacity).
+
+A fused Pallas kernel version of the encode+hash+filter stage lives in
+``ops.sketch_pallas``; this module is the bit-exactness anchor and the
+fallback path, and both must agree exactly (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoding import get_encoding_lut, max_hash_for_scaled
+from .murmur3 import MURMUR_SEED, murmur64_kmer_windows
+from .u64 import U64, le64, u64_const
+
+
+class SketchBatch(NamedTuple):
+    """Dense batch of per-sequence sketches.
+
+    mins are sorted ascending per row; entries at index >= count are
+    zero-filled padding. ``counts`` may exceed the static capacity S if
+    the caller under-provisioned — check ``counts.max() <= S``.
+    """
+
+    mins_hi: jnp.ndarray  # (B, S) uint32
+    mins_lo: jnp.ndarray  # (B, S) uint32
+    abund: jnp.ndarray  # (B, S) int32
+    counts: jnp.ndarray  # (B,) int32 — number of distinct retained hashes
+
+
+def encode_batch(seqs: jnp.ndarray, moltype: str) -> jnp.ndarray:
+    """Apply the moltype byte-LUT to a (..., L) uint8 batch."""
+    lut = jnp.asarray(get_encoding_lut(moltype))
+    return jnp.take(lut, seqs.astype(jnp.int32), axis=0)
+
+
+def window_keep_mask(hashes: U64, lengths: jnp.ndarray, k: int, scaled: int) -> jnp.ndarray:
+    """keep[b, i] = window i is inside sequence b AND hash ≤ max_hash."""
+    W = hashes.hi.shape[-1]
+    win_idx = jax.lax.broadcasted_iota(jnp.int32, hashes.hi.shape, hashes.hi.ndim - 1)
+    n_windows = (lengths.astype(jnp.int32) - (k - 1))[..., None]
+    in_range = win_idx < n_windows
+    mh = u64_const(max_hash_for_scaled(scaled))
+    return in_range & le64(hashes, U64(jnp.broadcast_to(mh.hi, hashes.hi.shape), jnp.broadcast_to(mh.lo, hashes.lo.shape)))
+
+
+def window_hashes(
+    seqs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    scaled: int,
+    moltype: str,
+    seed: int = MURMUR_SEED,
+):
+    """Per-window hashes + keep mask (used by sketching and k-mer extraction).
+
+    Returns ``(hashes: U64 (B, W), keep: bool (B, W))`` with W = L-k+1.
+    """
+    encoded = encode_batch(seqs, moltype)
+    hashes = murmur64_kmer_windows(encoded, k, seed)
+    keep = window_keep_mask(hashes, lengths, k, scaled)
+    return hashes, keep
+
+
+def _compact_row(h_hi, h_lo, keep, capacity: int):
+    """Sort one row's window hashes, dedup runs, scatter-compact to (S,)."""
+    # Invalid windows sort to the end: force their key to u64::MAX and keep
+    # an explicit validity flag so a genuine 2^64-1 hash is still handled.
+    big = jnp.uint32(0xFFFFFFFF)
+    key_hi = jnp.where(keep, h_hi, big)
+    key_lo = jnp.where(keep, h_lo, big)
+    s_hi, s_lo, s_keep = jax.lax.sort(
+        (key_hi, key_lo, keep.astype(jnp.int32)), num_keys=2
+    )
+    s_keep = s_keep.astype(bool)
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
+        ]
+    )
+    is_new = s_keep & ~prev_same
+    uid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    count = is_new.astype(jnp.int32).sum()
+
+    drop = jnp.int32(capacity)
+    new_idx = jnp.where(is_new, uid, drop)
+    occ_idx = jnp.where(s_keep, uid, drop)
+    mins_hi = jnp.zeros((capacity,), jnp.uint32).at[new_idx].set(s_hi, mode="drop")
+    mins_lo = jnp.zeros((capacity,), jnp.uint32).at[new_idx].set(s_lo, mode="drop")
+    abund = jnp.zeros((capacity,), jnp.int32).at[occ_idx].add(1, mode="drop")
+    return mins_hi, mins_lo, abund, count
+
+
+@functools.partial(jax.jit, static_argnames=("k", "scaled", "moltype", "capacity"))
+def sketch_batch(
+    seqs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    k: int,
+    scaled: int,
+    moltype: str,
+    capacity: int,
+) -> SketchBatch:
+    """Sketch a padded batch of validated residue byte rows.
+
+    Args:
+      seqs: (B, L) uint8, already uppercased / ambiguity-resolved /
+        stop-truncated (host ingest's job, see ``core.alphabet``).
+      lengths: (B,) true lengths (stop codon, if any, included — the
+        reference keeps the '*', aminoacid.rs:74-105).
+      k: protein k-mer size (static).
+      scaled: FracMinHash scaled (static).
+      moltype: protein | dayhoff | hp (static).
+      capacity: static per-row output slots S.
+    """
+    hashes, keep = window_hashes(seqs, lengths, k, scaled, moltype)
+    mins_hi, mins_lo, abund, counts = jax.vmap(
+        functools.partial(_compact_row, capacity=capacity)
+    )(hashes.hi, hashes.lo, keep)
+    return SketchBatch(mins_hi, mins_lo, abund, counts)
+
+
+def sketch_capacity(max_len: int, k: int, scaled: int) -> int:
+    """A safe static capacity for (max_len, k, scaled) batches.
+
+    Expected retained fraction is 1/scaled; allow generous slack plus a
+    constant floor so tiny inputs never overflow. scaled=1 keeps every
+    window, so capacity must be the full window count.
+    """
+    w = max(max_len - k + 1, 1)
+    if scaled <= 1:
+        return w
+    est = int(w * 3.0 / scaled) + 64
+    return min(w, est)
+
+
+def merge_sketches_np(mins_list, abund_list):
+    """Union ("combined minhash") of many sketches on host.
+
+    Mirrors the reference's combined KmerMinHash across all proteins
+    (index.rs:823-827): hash set union with summed abundances.
+    """
+    if not mins_list:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    allm = np.concatenate([np.asarray(m, np.uint64) for m in mins_list])
+    alla = np.concatenate([np.asarray(a, np.int64) for a in abund_list])
+    uniq, inv = np.unique(allm, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, alla)
+    return uniq, sums
