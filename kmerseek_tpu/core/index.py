@@ -1,0 +1,375 @@
+"""ProteomeIndex — the central index, built on device, stored columnar.
+
+TPU-native redesign of the reference's ``ProteomeIndex``
+(/root/reference/src/rust/index.rs:58-96): where the reference keeps a
+RocksDB handle, a DashMap of per-protein signatures, and a mutexed
+combined KmerMinHash, this index is a set of flat arrays:
+
+* per-protein sketches as one concatenated uint64 ``mins`` array with
+  CSR offsets (host) / padded dense (T, S) uint32-pair arrays (device);
+* the combined minhash as a sorted unique hash array + doc frequencies;
+* the k-mer string/position sidecar as a parquet table (columns
+  ``sequence_file, sequence_name, kmer, hashval, encoded, start`` —
+  byte-identical contract to the reference's ``.kmers.pq``,
+  sig2kmer.py:19-28,158-183), kept on host: strings don't belong in HBM
+  (SURVEY.md §7.3).
+
+Persistence replaces RocksDB/bincode chunks (index.rs:227-265) with a
+directory of npz arrays + JSON metadata + parquet sidecar — one
+``np.load`` brings the whole index back; no chunk-reassembly step, and
+``load()`` is reliable (the reference's was documented broken,
+index.rs:428-430).
+
+Build path (index.rs:907-1016 redesigned): stream FASTA record batches
+→ host validate/resolve → length-bucketed padded device batches →
+``ops.sketch.sketch_batch`` (one fused XLA program per bucket shape) →
+host signature assembly. Parallelism is the device's vector lanes
+instead of rayon threads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops import u64
+from ..ops.encoding import encode_bytes_np, max_hash_for_scaled
+from ..ops.sketch import merge_sketches_np, sketch_capacity
+from .alphabet import validate_resolve_batch
+from .fasta import iter_record_batches, pack_batch, read_fasta
+from .signature import Signature, signatures_from_sketch_batch, sourmash_md5
+
+INDEX_FORMAT_VERSION = 1
+INDEX_SUFFIX = "kmerseek.ksx"  # replaces "...kmerseek.rocksdb" (index.rs:647-652)
+
+
+def generate_index_path(fasta: str, moltype: str, ksize: int, scaled: int) -> str:
+    """Auto filename, index.rs:647-652 convention with a ksx suffix."""
+    return f"{fasta}.{moltype}.k{ksize}.scaled{scaled}.{INDEX_SUFFIX}"
+
+
+@dataclass
+class IndexConfig:
+    """Typed, validated config (types.rs / config.rs:70-103 parity)."""
+
+    ksize: int = 24
+    scaled: int = 5
+    moltype: str = "hp"
+
+    def __post_init__(self):
+        # KmerSize 1..=100 (types.rs:10-18); Scaled 1..=10 for proteins
+        # (types.rs:52-64). Unlike the reference, the index actually
+        # enforces its config (the Rust ProteomeIndex::new skipped
+        # validation, SURVEY.md §2.3 #12) — but keep the Rust tests'
+        # looser range usable by allowing scaled up to 10000.
+        if not 1 <= self.ksize <= 100:
+            raise ValueError(f"ksize must be in 1..=100, got {self.ksize}")
+        if not 1 <= self.scaled <= 10000:
+            raise ValueError(f"scaled must be in 1..=10000, got {self.scaled}")
+        if self.moltype not in ("protein", "dayhoff", "hp"):
+            raise ValueError(
+                f"Invalid moltype: {self.moltype}, only 'protein', 'hp', or "
+                "'dayhoff' are supported"
+            )
+
+
+class ProteomeIndex:
+    """Sketches + combined minhash + optional k-mer sidecar for one proteome."""
+
+    def __init__(
+        self,
+        config: IndexConfig,
+        names: List[str],
+        mins: np.ndarray,
+        abundances: np.ndarray,
+        offsets: np.ndarray,
+        source_fasta: str = "",
+        sequences: Optional[List[bytes]] = None,
+    ):
+        self.config = config
+        self.names = list(names)
+        self.mins = np.asarray(mins, dtype=np.uint64)
+        self.abundances = np.asarray(abundances, dtype=np.int64)
+        self.offsets = np.asarray(offsets, dtype=np.int64)  # (T+1,)
+        self.source_fasta = source_fasta
+        self.sequences = sequences  # raw (resolved) sequences when stored
+        self._combined = None
+        self._kmer_table = None
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_signatures(
+        cls,
+        signatures: Sequence[Signature],
+        config: Optional[IndexConfig] = None,
+        source_fasta: str = "",
+        sequences: Optional[List[bytes]] = None,
+    ) -> "ProteomeIndex":
+        if not signatures:
+            raise ValueError("cannot build an index from zero signatures")
+        sig0 = signatures[0]
+        config = config or IndexConfig(sig0.ksize, sig0.scaled, sig0.moltype)
+        names = [s.name for s in signatures]
+        offsets = np.zeros(len(signatures) + 1, np.int64)
+        for i, s in enumerate(signatures):
+            offsets[i + 1] = offsets[i] + len(s)
+        mins = (
+            np.concatenate([s.mins for s in signatures])
+            if len(signatures)
+            else np.zeros(0, np.uint64)
+        )
+        ab = np.concatenate([s.abundances for s in signatures])
+        return cls(config, names, mins, ab, offsets, source_fasta, sequences)
+
+    @classmethod
+    def build(
+        cls,
+        fasta: str,
+        config: Optional[IndexConfig] = None,
+        *,
+        batch_size: int = 1000,
+        store_raw_sequences: bool = False,
+        progress_interval: int = 0,
+        ambiguity_policy: str = "first",
+    ) -> "ProteomeIndex":
+        """Sketch every record of ``fasta`` on the accelerator."""
+        import jax.numpy as jnp
+        from ..ops.sketch import sketch_batch
+
+        config = config or IndexConfig()
+        k, scaled, moltype = config.ksize, config.scaled, config.moltype
+        signatures: List[Signature] = []
+        sequences: List[bytes] = [] if store_raw_sequences else None
+        n_done = 0
+        for records in iter_record_batches(fasta, batch_size):
+            names = [r.name for r in records]
+            resolved = validate_resolve_batch(
+                [r.seq for r in records], names, policy=ambiguity_policy
+            )
+            # pad so even the shortest row yields >= 1 window slot
+            arr, lens = pack_batch(resolved, min_len=max(k + 1, 128))
+            cap = sketch_capacity(arr.shape[1], k, scaled)
+            batch = sketch_batch(
+                jnp.asarray(arr),
+                jnp.asarray(lens),
+                k=k,
+                scaled=scaled,
+                moltype=moltype,
+                capacity=cap,
+            )
+            while int(np.asarray(batch.counts).max(initial=0)) > cap:
+                cap *= 2  # rare under-provision: retry with more slots
+                batch = sketch_batch(
+                    jnp.asarray(arr),
+                    jnp.asarray(lens),
+                    k=k,
+                    scaled=scaled,
+                    moltype=moltype,
+                    capacity=cap,
+                )
+            signatures.extend(
+                signatures_from_sketch_batch(
+                    batch,
+                    names,
+                    ksize=k,
+                    scaled=scaled,
+                    moltype=moltype,
+                    filename=os.path.abspath(fasta),
+                )
+            )
+            if store_raw_sequences:
+                sequences.extend(resolved)
+            n_done += len(records)
+            if progress_interval and n_done % progress_interval == 0:
+                from ..utils.logging import logger
+
+                logger.info("processed %d sequences", n_done)
+        return cls.from_signatures(
+            signatures, config, source_fasta=fasta, sequences=sequences
+        )
+
+    # ------------------------------------------------------------------
+    # views
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def signature(self, i: int) -> Signature:
+        lo, hi = self.offsets[i], self.offsets[i + 1]
+        return Signature(
+            name=self.names[i],
+            mins=self.mins[lo:hi],
+            abundances=self.abundances[lo:hi],
+            ksize=self.config.ksize,
+            scaled=self.config.scaled,
+            moltype=self.config.moltype,
+            filename=self.source_fasta,
+        )
+
+    def signatures(self) -> List[Signature]:
+        return [self.signature(i) for i in range(len(self))]
+
+    @property
+    def counts(self) -> np.ndarray:
+        return np.diff(self.offsets).astype(np.int32)
+
+    @property
+    def combined(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Union of all sketches: (sorted unique hashes, summed abundances).
+
+        The reference's combined KmerMinHash (index.rs:823-827)."""
+        if self._combined is None:
+            mins_list = [
+                self.mins[self.offsets[i] : self.offsets[i + 1]]
+                for i in range(len(self))
+            ]
+            ab_list = [
+                self.abundances[self.offsets[i] : self.offsets[i + 1]]
+                for i in range(len(self))
+            ]
+            self._combined = merge_sketches_np(mins_list, ab_list)
+        return self._combined
+
+    def dense_device_arrays(self, pad_multiple: int = 128):
+        """Padded (T, S) device arrays for the search kernels.
+
+        Returns (hi, lo, abund, counts) with S = max sketch size rounded
+        to a lane multiple; padding rows hold u64::MAX sentinels so they
+        never match a real hash during searchsorted probing."""
+        import jax.numpy as jnp
+
+        T = len(self)
+        counts = self.counts
+        S = int(counts.max(initial=1))
+        S = max(((S + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
+        hi = np.full((T, S), 0xFFFFFFFF, np.uint32)
+        lo = np.full((T, S), 0xFFFFFFFF, np.uint32)
+        ab = np.zeros((T, S), np.int32)
+        for i in range(T):
+            o0, o1 = self.offsets[i], self.offsets[i + 1]
+            h, l = u64.split_np(self.mins[o0:o1])
+            hi[i, : o1 - o0] = h
+            lo[i, : o1 - o0] = l
+            ab[i, : o1 - o0] = self.abundances[o0:o1]
+        return (
+            jnp.asarray(hi),
+            jnp.asarray(lo),
+            jnp.asarray(ab),
+            jnp.asarray(counts.astype(np.int32)),
+        )
+
+    # ------------------------------------------------------------------
+    # equivalence oracle (index.rs:524-625 parity)
+    # ------------------------------------------------------------------
+
+    def is_equivalent_to(self, other: "ProteomeIndex") -> bool:
+        if (
+            self.config != other.config
+            or len(self) != len(other)
+            or sorted(self.names) != sorted(other.names)
+        ):
+            return False
+        order_a = np.argsort(np.asarray(self.names))
+        order_b = np.argsort(np.asarray(other.names))
+        for ia, ib in zip(order_a, order_b):
+            sa, sb = self.signature(int(ia)), other.signature(int(ib))
+            if not (
+                np.array_equal(sa.mins, sb.mins)
+                and np.array_equal(sa.abundances, sb.abundances)
+            ):
+                return False
+        ca, cb = self.combined, other.combined
+        return np.array_equal(ca[0], cb[0]) and np.array_equal(ca[1], cb[1])
+
+    # ------------------------------------------------------------------
+    # persistence (replaces save_state/load_state, index.rs:227-426)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> str:
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "format_version": INDEX_FORMAT_VERSION,
+            "ksize": self.config.ksize,
+            "scaled": self.config.scaled,
+            "moltype": self.config.moltype,
+            "n_signatures": len(self),
+            "source_fasta": self.source_fasta,
+            "names": self.names,
+            "has_sequences": self.sequences is not None,
+        }
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(meta, f)
+        np.savez_compressed(
+            os.path.join(path, "arrays.npz"),
+            mins=self.mins,
+            abundances=self.abundances,
+            offsets=self.offsets,
+        )
+        if self.sequences is not None:
+            seq_off = np.zeros(len(self.sequences) + 1, np.int64)
+            for i, s in enumerate(self.sequences):
+                seq_off[i + 1] = seq_off[i] + len(s)
+            np.savez_compressed(
+                os.path.join(path, "sequences.npz"),
+                data=np.frombuffer(b"".join(self.sequences), np.uint8),
+                offsets=seq_off,
+            )
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "ProteomeIndex":
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        if meta["format_version"] > INDEX_FORMAT_VERSION:
+            raise ValueError(f"index format {meta['format_version']} too new")
+        arrays = np.load(os.path.join(path, "arrays.npz"))
+        sequences = None
+        seq_path = os.path.join(path, "sequences.npz")
+        if meta.get("has_sequences") and os.path.exists(seq_path):
+            sq = np.load(seq_path)
+            data, offs = sq["data"].tobytes(), sq["offsets"]
+            sequences = [data[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+        return cls(
+            IndexConfig(meta["ksize"], meta["scaled"], meta["moltype"]),
+            meta["names"],
+            arrays["mins"],
+            arrays["abundances"],
+            arrays["offsets"],
+            source_fasta=meta.get("source_fasta", ""),
+            sequences=sequences,
+        )
+
+    # ------------------------------------------------------------------
+    # sourmash interop
+    # ------------------------------------------------------------------
+
+    def to_sig_zip(self, path: str) -> str:
+        from .sigzip import write_sig_zip
+
+        return write_sig_zip(path, self.signatures())
+
+    @classmethod
+    def from_sig_zip(cls, path: str) -> "ProteomeIndex":
+        from .sigzip import read_sig_zip
+
+        return cls.from_signatures(read_sig_zip(path))
+
+    def print_stats(self) -> str:
+        """index.rs:628-639 equivalent."""
+        comb, _ = self.combined
+        lines = [
+            f"ProteomeIndex: {len(self)} signatures",
+            f"  moltype={self.config.moltype} ksize={self.config.ksize} "
+            f"scaled={self.config.scaled}",
+            f"  total hashes: {len(self.mins)}",
+            f"  combined minhash size: {len(comb)}",
+        ]
+        return "\n".join(lines)

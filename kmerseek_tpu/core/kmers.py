@@ -1,0 +1,131 @@
+"""K-mer table extraction — the (hash → k-mer string, position) sidecar.
+
+Produces the same parquet contract as the reference's sig2kmer path
+(/root/reference/src/python/kmerseek/sig2kmer.py:158-183 +
+extract_kmers.py): columns ``sequence_file, sequence_name, kmer,
+hashval, encoded, start`` with one row per window occurrence whose hash
+survives the scaled filter. Validated against the committed
+``….hp.k24.scaled5.sig.TRUE.zip.kmers.pq`` fixture (1712 rows).
+
+Where the reference re-kmerizes every sequence in Python via sourmash's
+CLI-as-library (``sourmash.sig.__main__.kmers``) and joins in polars,
+here the device already computed every window's hash and keep-mask
+during sketching — the table falls out of one masked transfer plus
+numpy string slicing. Strings stay on host (SURVEY.md §7.3: payloads
+don't belong in HBM).
+
+hp/dayhoff collisions (several original k-mers → one encoded hash,
+index.rs:1322-1325) are naturally multimap rows here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..ops import u64
+from ..ops.encoding import encode_bytes_np
+from .fasta import pack_batch
+
+KMERS_SCHEMA = pa.schema(
+    [
+        ("sequence_file", pa.large_string()),
+        ("sequence_name", pa.large_string()),
+        ("kmer", pa.large_string()),
+        ("hashval", pa.uint64()),
+        ("encoded", pa.large_string()),
+        ("start", pa.uint32()),
+    ]
+)
+
+
+def kmer_table_filename(sig_path: str) -> str:
+    """sig2kmer.py:27-28 convention."""
+    return f"{sig_path}.kmers.pq"
+
+
+def extract_kmer_table(
+    names: Sequence[str],
+    resolved_seqs: Sequence[bytes],
+    *,
+    ksize: int,
+    scaled: int,
+    moltype: str,
+    sequence_file: str,
+    batch_rows: int = 512,
+) -> pa.Table:
+    """Build the k-mer table for already-validated sequences."""
+    import jax.numpy as jnp
+
+    from ..ops.sketch import window_hashes
+
+    cols_file: List[str] = []
+    cols_name: List[str] = []
+    cols_kmer: List[str] = []
+    cols_hash: List[int] = []
+    cols_enc: List[str] = []
+    cols_start: List[int] = []
+
+    for lo in range(0, len(names), batch_rows):
+        chunk_names = names[lo : lo + batch_rows]
+        chunk_seqs = resolved_seqs[lo : lo + batch_rows]
+        arr, lens = pack_batch(chunk_seqs, min_len=max(ksize + 1, 128))
+        hashes, keep = window_hashes(
+            jnp.asarray(arr), jnp.asarray(lens), ksize, scaled, moltype
+        )
+        keep_np = np.asarray(keep)
+        h64 = u64.join_np(np.asarray(hashes.hi), np.asarray(hashes.lo))
+        for i, name in enumerate(chunk_names):
+            seq = chunk_seqs[i]
+            enc = encode_bytes_np(np.frombuffer(seq, np.uint8), moltype).tobytes()
+            starts = np.flatnonzero(keep_np[i])
+            for s in starts:
+                s = int(s)
+                cols_file.append(sequence_file)
+                cols_name.append(name)
+                cols_kmer.append(seq[s : s + ksize].decode("ascii"))
+                cols_hash.append(int(h64[i, s]))
+                cols_enc.append(enc[s : s + ksize].decode("ascii"))
+                cols_start.append(s)
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(cols_file, pa.large_string()),
+            pa.array(cols_name, pa.large_string()),
+            pa.array(cols_kmer, pa.large_string()),
+            pa.array(cols_hash, pa.uint64()),
+            pa.array(cols_enc, pa.large_string()),
+            pa.array(cols_start, pa.uint32()),
+        ],
+        schema=KMERS_SCHEMA,
+    )
+
+
+def write_kmer_table(table: pa.Table, path: str) -> str:
+    pq.write_table(table, path)
+    return path
+
+
+def read_kmer_table(path: str) -> pa.Table:
+    return pq.read_table(path)
+
+
+def kmer_table_for_index(index, sequence_file: Optional[str] = None) -> pa.Table:
+    """Extract the table for a built ProteomeIndex (needs raw sequences)."""
+    if index.sequences is None:
+        raise ValueError(
+            "index was built without store_raw_sequences; re-build with "
+            "store_raw_sequences=True to extract k-mers"
+        )
+    return extract_kmer_table(
+        index.names,
+        index.sequences,
+        ksize=index.config.ksize,
+        scaled=index.config.scaled,
+        moltype=index.config.moltype,
+        sequence_file=sequence_file or os.path.abspath(index.source_fasta),
+    )

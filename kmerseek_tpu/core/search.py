@@ -1,0 +1,310 @@
+"""Sketch-vs-sketch search: manysearch / multisearch statistics.
+
+Re-implements the scoring that the reference delegates to branchwater's
+``do_manysearch`` / ``do_multisearch`` (search.py:125-158 → Rust FFI),
+with the heavy all-pairs intersection on device (``ops.intersect``) and
+the statistics assembled on host in f64.
+
+Column contracts (exact):
+
+* manysearch — the 22 columns pinned by the reference's golden CSV
+  (/root/reference/tests/test_search.py:31-41). Abundance stats are the
+  *target* abundances over the intersection; ``total_weighted_hashes``
+  is the target's total abundance (verified against the golden rows:
+  ASPP2 has 229 hashes but 230 total weight).
+* multisearch — the 16 columns of the committed fixture
+  (tests/testdata/index/ced9-bcl2-first25.hp.k16.manysearch.csv), with
+
+    prob_overlap        = Σ_{h∈I} (q_ab(h)/Σ_q ab) · (db_ab(h)/Σ_db ab)
+    prob_overlap_adjusted = prob_overlap · n_queries · n_targets
+    containment_adjusted  = containment / prob_overlap_adjusted
+    tf_idf_score        = Σ_{h∈I} (q_ab(h)/Σ_q ab) · (1 + ln((1+N)/(1+df(h))))
+
+  (N = number of target sketches, df = how many target sketches contain
+  h, db_ab = summed abundance of h across targets). These formulas
+  reproduce the fixture bit-for-bit — e.g. the per-hash idf constant
+  1+ln(13) = 3.564949357461537 — and are documented here because
+  branchwater's source was not available for inspection.
+
+ANI columns follow sourmash: containment^(1/minhash_ksize) with
+minhash_ksize = 3·protein_k (golden: (2/49)^(1/48) = 0.9355328459682174).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import math
+import sys
+from collections import Counter
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.intersect import pairwise_stats
+from .index import ProteomeIndex
+from .signature import minhash_ksize
+
+MANYSEARCH_COLUMNS = [
+    "query_name",
+    "query_md5",
+    "match_name",
+    "containment",
+    "intersect_hashes",
+    "ksize",
+    "scaled",
+    "moltype",
+    "match_md5",
+    "jaccard",
+    "max_containment",
+    "average_abund",
+    "median_abund",
+    "std_abund",
+    "query_containment_ani",
+    "match_containment_ani",
+    "average_containment_ani",
+    "max_containment_ani",
+    "n_weighted_found",
+    "total_weighted_hashes",
+    "containment_target_in_query",
+    "f_weighted_target_in_query",
+]
+
+MULTISEARCH_COLUMNS = [
+    "query_name",
+    "query_md5",
+    "match_name",
+    "match_md5",
+    "containment",
+    "max_containment",
+    "jaccard",
+    "intersect_hashes",
+    "ksize",
+    "scaled",
+    "moltype",
+    "prob_overlap",
+    "prob_overlap_adjusted",
+    "containment_adjusted",
+    "containment_adjusted_log10",
+    "tf_idf_score",
+]
+
+
+def _device_pair_stats(query: ProteomeIndex, target: ProteomeIndex):
+    q_hi, q_lo, _q_ab, q_counts = query.dense_device_arrays()
+    t_hi, t_lo, t_ab, t_counts = target.dense_device_arrays()
+    stats = pairwise_stats(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+    return (
+        np.asarray(stats.intersect),
+        np.asarray(stats.weighted),
+        np.asarray(stats.weighted_sq),
+        np.asarray(stats.median2),
+    )
+
+
+def _ani(containment: float, k3: int) -> float:
+    if containment <= 0.0:
+        return 0.0
+    return math.exp(math.log(containment) / k3)
+
+
+def manysearch(
+    query: ProteomeIndex,
+    target: ProteomeIndex,
+    threshold: float = 0.0,
+) -> List[Dict]:
+    """All query × target rows with ≥1 shared hash (threshold 0 default,
+    matching the CLI's 'show all matches' behavior, search.py:131-141)."""
+    if (query.config.ksize, query.config.scaled, query.config.moltype) != (
+        target.config.ksize,
+        target.config.scaled,
+        target.config.moltype,
+    ):
+        raise ValueError("query/target sketch parameters differ")
+    n, w, wsq, med2 = _device_pair_stats(query, target)
+    k3 = minhash_ksize(query.config.ksize)
+    scaled = query.config.scaled
+    moltype = query.config.moltype
+
+    q_sizes = query.counts
+    t_sizes = target.counts
+    t_weight = np.array(
+        [
+            int(
+                target.abundances[target.offsets[i] : target.offsets[i + 1]].sum()
+            )
+            for i in range(len(target))
+        ]
+    )
+    q_md5 = [query.signature(i).md5sum for i in range(len(query))]
+    t_md5 = [target.signature(j).md5sum for j in range(len(target))]
+
+    rows: List[Dict] = []
+    for qi in range(len(query)):
+        for tj in range(len(target)):
+            inter = int(n[qi, tj])
+            if inter <= 0:
+                continue
+            qs, ts = int(q_sizes[qi]), int(t_sizes[tj])
+            containment = inter / qs
+            if containment < threshold:
+                continue
+            c_tq = inter / ts
+            union = qs + ts - inter
+            jaccard = inter / union if union else 0.0
+            weighted = int(w[qi, tj])
+            avg = weighted / inter
+            med = int(med2[qi, tj]) / 2.0
+            var = int(wsq[qi, tj]) / inter - avg * avg
+            std = math.sqrt(max(var, 0.0))
+            ani_q = _ani(containment, k3)
+            ani_t = _ani(c_tq, k3)
+            rows.append(
+                {
+                    "query_name": query.names[qi],
+                    "query_md5": q_md5[qi],
+                    "match_name": target.names[tj],
+                    "containment": containment,
+                    "intersect_hashes": inter,
+                    "ksize": k3,
+                    "scaled": scaled,
+                    "moltype": moltype,
+                    "match_md5": t_md5[tj],
+                    "jaccard": jaccard,
+                    "max_containment": max(containment, c_tq),
+                    "average_abund": avg,
+                    "median_abund": med,
+                    "std_abund": std,
+                    "query_containment_ani": ani_q,
+                    "match_containment_ani": ani_t,
+                    "average_containment_ani": (ani_q + ani_t) / 2.0,
+                    "max_containment_ani": max(ani_q, ani_t),
+                    "n_weighted_found": weighted,
+                    "total_weighted_hashes": int(t_weight[tj]),
+                    "containment_target_in_query": c_tq,
+                    "f_weighted_target_in_query": weighted / int(t_weight[tj]),
+                }
+            )
+    rows.sort(key=lambda r: (r["query_name"], r["match_name"]))
+    return rows
+
+
+def multisearch(
+    query: ProteomeIndex,
+    target: ProteomeIndex,
+    threshold: float = 0.0,
+    estimate_prob_overlap: bool = True,
+) -> List[Dict]:
+    """Pairwise scoring with database-frequency statistics
+    (do_multisearch variant, search.py:144-158 — available but unused
+    by the reference CLI)."""
+    n, _w, _wsq, _med2 = _device_pair_stats(query, target)
+    k3 = minhash_ksize(query.config.ksize)
+
+    # database hash statistics over the target sketches
+    df: Counter = Counter()
+    db_ab: Counter = Counter()
+    for j in range(len(target)):
+        o0, o1 = target.offsets[j], target.offsets[j + 1]
+        for h, a in zip(target.mins[o0:o1], target.abundances[o0:o1]):
+            df[int(h)] += 1
+            db_ab[int(h)] += int(a)
+    sum_db_ab = float(sum(db_ab.values()))
+    n_targets = len(target)
+    n_comparisons = float(len(query) * n_targets)
+
+    q_md5 = [query.signature(i).md5sum for i in range(len(query))]
+    t_md5 = [target.signature(j).md5sum for j in range(len(target))]
+
+    rows: List[Dict] = []
+    for qi in range(len(query)):
+        qo0, qo1 = query.offsets[qi], query.offsets[qi + 1]
+        q_mins = query.mins[qo0:qo1]
+        q_ab = query.abundances[qo0:qo1]
+        sum_q_ab = float(q_ab.sum())
+        qs = len(q_mins)
+        for tj in range(len(target)):
+            inter = int(n[qi, tj])
+            if inter <= 0:
+                continue
+            to0, to1 = target.offsets[tj], target.offsets[tj + 1]
+            t_mins = target.mins[to0:to1]
+            ts = len(t_mins)
+            containment = inter / qs
+            if containment < threshold:
+                continue
+            c_tq = inter / ts
+            union = qs + ts - inter
+            common, qpos, _tpos = np.intersect1d(
+                q_mins, t_mins, assume_unique=True, return_indices=True
+            )
+            prob = 0.0
+            tfidf = 0.0
+            for h, qp in zip(common, qpos):
+                tf = int(q_ab[qp]) / sum_q_ab
+                prob += tf * (db_ab[int(h)] / sum_db_ab)
+                tfidf += tf * (
+                    1.0 + math.log((1.0 + n_targets) / (1.0 + df[int(h)]))
+                )
+            row = {
+                "query_name": query.names[qi],
+                "query_md5": q_md5[qi],
+                "match_name": target.names[tj],
+                "match_md5": t_md5[tj],
+                "containment": containment,
+                "max_containment": max(containment, c_tq),
+                "jaccard": inter / union if union else 0.0,
+                "intersect_hashes": float(inter),
+                "ksize": k3,
+                "scaled": query.config.scaled,
+                "moltype": query.config.moltype,
+            }
+            if estimate_prob_overlap:
+                prob_adj = prob * n_comparisons
+                row.update(
+                    {
+                        "prob_overlap": prob,
+                        "prob_overlap_adjusted": prob_adj,
+                        "containment_adjusted": (
+                            containment / prob_adj if prob_adj else 0.0
+                        ),
+                        "containment_adjusted_log10": (
+                            math.log10(containment / prob_adj)
+                            if prob_adj and containment > 0
+                            else 0.0
+                        ),
+                        "tf_idf_score": tfidf,
+                    }
+                )
+            rows.append(row)
+    rows.sort(key=lambda r: (r["query_name"], r["match_name"]))
+    return rows
+
+
+def _format_value(v) -> str:
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def rows_to_csv(rows: Sequence[Dict], columns: Sequence[str]) -> str:
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(columns)
+    for r in rows:
+        w.writerow([_format_value(r[c]) for c in columns])
+    return buf.getvalue()
+
+
+def write_search_csv(
+    rows: Sequence[Dict],
+    columns: Sequence[str],
+    filename: Optional[str] = None,
+) -> None:
+    data = rows_to_csv(rows, columns)
+    if filename is None:
+        sys.stdout.write(data)
+        sys.stdout.flush()
+    else:
+        with open(filename, "w") as f:
+            f.write(data)

@@ -1,0 +1,134 @@
+"""Protein signature containers (host-side metadata around device sketches).
+
+TPU-native analog of the reference's ``ProteinSignature``
+(/root/reference/src/rust/signature.rs:104-318): each protein carries a
+FracMinHash sketch (sorted mins + abundances). Unlike the reference,
+hashes stay in flat numpy/jnp arrays (devices hold them as (hi, lo)
+uint32 pairs); the k-mer-string/position sidecar lives in a parquet
+table (``core.kmers``) rather than a per-hash hashmap, mirroring the
+reference's split between minhash and KmerInfo (signature.rs:110-114)
+but in columnar, device-friendly form.
+
+Conventions reproduced:
+* ``minhash ksize = protein ksize * 3`` (signature.rs:13, the sourmash
+  DNA-legacy convention; golden search CSV reports ksize=48 for k=16).
+* sourmash md5: md5 over str(minhash_ksize) then each min's decimal
+  string — verified against the committed .sig.zip fixtures.
+* the reference Rust path's "md5" is actually hex(wrapping_sum(mins))
+  (signature.rs:277-279); provided as ``mins_sum_hex`` for parity with
+  the Rust tests' ids (e.g. "7641839ad508ab8").
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.encoding import max_hash_for_scaled
+
+PROTEIN_TO_MINHASH_RATIO = 3  # signature.rs:13
+SEED = 42  # signature.rs:12
+
+
+def minhash_ksize(protein_ksize: int) -> int:
+    return protein_ksize * PROTEIN_TO_MINHASH_RATIO
+
+
+def sourmash_md5(mins: Sequence[int], protein_ksize: int) -> str:
+    """sourmash KmerMinHash md5: md5(str(3k) + ''.join(str(min)))."""
+    m = hashlib.md5()
+    m.update(str(minhash_ksize(protein_ksize)).encode())
+    for x in np.asarray(mins, dtype=np.uint64):
+        m.update(str(int(x)).encode())
+    return m.hexdigest()
+
+
+def mins_sum_hex(mins: Sequence[int]) -> str:
+    """kmerseek-Rust's 'md5': hex of the wrapping sum of mins
+    (signature.rs:277-279) — not a real md5; kept for oracle parity."""
+    total = 0
+    for x in np.asarray(mins, dtype=np.uint64):
+        total = (total + int(x)) & ((1 << 64) - 1)
+    return f"{total:x}"
+
+
+@dataclass
+class Signature:
+    """One protein's sketch + metadata."""
+
+    name: str
+    mins: np.ndarray  # uint64, sorted ascending
+    abundances: np.ndarray  # int64
+    ksize: int  # protein ksize
+    scaled: int
+    moltype: str
+    filename: str = ""
+    _md5: Optional[str] = field(default=None, repr=False)
+
+    def __post_init__(self):
+        self.mins = np.asarray(self.mins, dtype=np.uint64)
+        self.abundances = np.asarray(self.abundances, dtype=np.int64)
+        assert self.mins.shape == self.abundances.shape
+
+    @property
+    def md5sum(self) -> str:
+        if self._md5 is None:
+            self._md5 = sourmash_md5(self.mins, self.ksize)
+        return self._md5
+
+    @property
+    def md5short(self) -> str:
+        return self.md5sum[:8]
+
+    @property
+    def max_hash(self) -> int:
+        return max_hash_for_scaled(self.scaled)
+
+    @property
+    def n_hashes(self) -> int:
+        return len(self.mins)
+
+    def __len__(self) -> int:
+        return len(self.mins)
+
+
+def signatures_from_sketch_batch(
+    batch,
+    names: Sequence[str],
+    *,
+    ksize: int,
+    scaled: int,
+    moltype: str,
+    filename: str = "",
+) -> List[Signature]:
+    """Convert a device SketchBatch into host Signature records."""
+    from ..ops import u64
+
+    counts = np.asarray(batch.counts)
+    mins_hi = np.asarray(batch.mins_hi)
+    mins_lo = np.asarray(batch.mins_lo)
+    abund = np.asarray(batch.abund)
+    cap = mins_hi.shape[1]
+    if counts.max(initial=0) > cap:
+        raise ValueError(
+            f"sketch capacity overflow: max count {counts.max()} > capacity {cap}"
+        )
+    out = []
+    for i, name in enumerate(names):
+        n = int(counts[i])
+        mins = u64.join_np(mins_hi[i, :n], mins_lo[i, :n])
+        out.append(
+            Signature(
+                name=name,
+                mins=mins,
+                abundances=abund[i, :n].astype(np.int64),
+                ksize=ksize,
+                scaled=scaled,
+                moltype=moltype,
+                filename=filename,
+            )
+        )
+    return out

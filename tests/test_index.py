@@ -1,0 +1,106 @@
+"""ProteomeIndex build/persist/interop vs reference fixtures & counts."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex, generate_index_path
+from kmerseek_tpu.core.kmers import kmer_table_for_index
+from kmerseek_tpu.core.sigzip import read_sig_zip
+from kmerseek_tpu.core.signature import mins_sum_hex, sourmash_md5
+
+
+def test_build_bcl2_hp_k16(bcl2_first25, bcl2_hp_k16_sig_zip, tmp_path):
+    idx = ProteomeIndex.build(bcl2_first25, IndexConfig(16, 5, "hp"))
+    assert len(idx) == 25
+
+    # signatures must equal the committed sourmash fixture exactly
+    fixture = {s.name: s for s in read_sig_zip(bcl2_hp_k16_sig_zip)}
+    assert set(idx.names) == set(fixture)
+    for sig in idx.signatures():
+        ref = fixture[sig.name]
+        assert np.array_equal(sig.mins, ref.mins), sig.name
+        assert np.array_equal(sig.abundances, ref.abundances), sig.name
+        assert sig.md5sum == ref.md5sum, sig.name
+
+    # save / load roundtrip + equivalence oracle
+    p = str(tmp_path / "idx.ksx")
+    idx.save(p)
+    idx2 = ProteomeIndex.load(p)
+    assert idx.is_equivalent_to(idx2)
+    assert idx2.is_equivalent_to(idx)
+
+    # sig.zip roundtrip
+    zp = str(tmp_path / "out.sig.zip")
+    idx.to_sig_zip(zp)
+    idx3 = ProteomeIndex.from_sig_zip(zp)
+    assert idx.is_equivalent_to(idx3)
+
+
+def test_md5_matches_sourmash_fixture(bcl2_hp_k16_sig_zip):
+    sigs = read_sig_zip(bcl2_hp_k16_sig_zip)
+    for s in sigs[:3]:
+        assert sourmash_md5(s.mins, s.ksize) == s.md5sum
+
+
+def test_rust_sum_md5_parity():
+    """The Rust path's 'md5' = hex(wrapping_sum(mins)) — golden id
+    '7641839ad508ab8' for PLANTANDANIMALGENQMES protein k5
+    (index.rs:1764-1768)."""
+    from tests.test_murmur import GOLDEN_PROTEIN
+
+    mins = sorted(h for h, _k, _p in GOLDEN_PROTEIN)
+    assert mins_sum_hex(mins) == "7641839ad508ab8"
+
+
+def test_kmer_table_matches_fixture(
+    bcl2_first25, bcl2_hp_k24_true_kmers_pq, tmp_path
+):
+    """The 1712-row golden parquet (tests/test_entity.py:44-59)."""
+    idx = ProteomeIndex.build(
+        bcl2_first25, IndexConfig(24, 5, "hp"), store_raw_sequences=True
+    )
+    table = kmer_table_for_index(idx).to_pandas()
+    ref = pq.read_table(bcl2_hp_k24_true_kmers_pq).to_pandas()
+    assert len(table) == len(ref) == 1712
+
+    key = ["sequence_name", "kmer", "start"]
+    t = table.sort_values(key).reset_index(drop=True)
+    r = ref.sort_values(key).reset_index(drop=True)
+    assert (t["sequence_name"] == r["sequence_name"]).all()
+    assert (t["kmer"] == r["kmer"]).all()
+    assert (t["encoded"] == r["encoded"]).all()
+    assert (t["start"].astype(np.uint32) == r["start"].astype(np.uint32)).all()
+    assert (
+        t["hashval"].astype(np.uint64) == r["hashval"].astype(np.uint64)
+    ).all()
+
+
+def test_index_config_validation():
+    with pytest.raises(ValueError):
+        IndexConfig(0, 5, "hp")
+    with pytest.raises(ValueError):
+        IndexConfig(101, 5, "hp")
+    with pytest.raises(ValueError):
+        IndexConfig(10, 0, "hp")
+    with pytest.raises(ValueError):
+        IndexConfig(10, 5, "dna")
+    assert generate_index_path("x.fa", "hp", 24, 5) == "x.fa.hp.k24.scaled5.kmerseek.ksx"
+
+
+def test_mixed_case_and_compression():
+    """Mixed-case FASTA is uppercased (index.rs:2847-2934); zst works."""
+    from kmerseek_tpu.core.fasta import read_fasta
+
+    path = "/root/reference/tests/testdata/fasta/test_compression.fasta.zst"
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    idx = ProteomeIndex.build(path, IndexConfig(5, 1, "protein"))
+    by_name = {n: c for n, c in zip(idx.names, idx.counts)}
+    # index.rs:1749-1789: LIVINGALIVE=7 distinct 5-mers, TEST_PROTEIN=17,
+    # combined = 24
+    assert sorted(by_name.values()) == [7, 17]
+    comb, _ = idx.combined
+    assert len(comb) == 24

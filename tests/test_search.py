@@ -1,0 +1,197 @@
+"""Search statistics vs the reference's golden CSVs (exact values).
+
+Oracles: the 22-column manysearch golden rows pinned in
+/root/reference/tests/test_search.py:31-41 and the 16-column
+multisearch fixture tests/testdata/index/ced9-bcl2-first25.hp.k16.manysearch.csv.
+"""
+
+import csv
+import math
+
+import numpy as np
+import pytest
+
+from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+from kmerseek_tpu.core.search import (
+    MANYSEARCH_COLUMNS,
+    MULTISEARCH_COLUMNS,
+    manysearch,
+    multisearch,
+    rows_to_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def ced9_vs_bcl2():
+    import pathlib
+
+    ced9 = "/root/reference/tests/testdata/fasta/ced9.fasta"
+    bcl2 = (
+        "/root/reference/tests/testdata/fasta/"
+        "bcl2_first25_uniprotkb_accession_O43236_OR_accession_2025_02_06.fasta.gz"
+    )
+    if not (pathlib.Path(ced9).exists() and pathlib.Path(bcl2).exists()):
+        pytest.skip("reference fixtures unavailable")
+    cfg = IndexConfig(16, 5, "hp")
+    return ProteomeIndex.build(ced9, cfg), ProteomeIndex.build(bcl2, cfg)
+
+
+# the reference's golden manysearch rows (tests/test_search.py:33-38),
+# keyed by match gene tag
+GOLDEN = {
+    "BNIP2": dict(
+        containment=0.04081632653061224,
+        intersect_hashes=2,
+        match_md5="7bbc6e2ea3a472034fc31321943032ee",
+        jaccard=0.02040816326530612,
+        max_containment=0.04081632653061224,
+        query_containment_ani=0.9355328459682174,
+        match_containment_ani=0.934753456124389,
+        average_containment_ani=0.9351431510463032,
+        max_containment_ani=0.9355328459682174,
+        n_weighted_found=2,
+        total_weighted_hashes=51,
+        containment_target_in_query=0.0392156862745098,
+        f_weighted_target_in_query=0.0392156862745098,
+    ),
+    "ASPP2": dict(
+        containment=0.02040816326530612,
+        intersect_hashes=1,
+        match_md5="35da5dcf3561c6c0b0aaa34a118eabef",
+        jaccard=0.0036101083032490976,
+        max_containment=0.02040816326530612,
+        query_containment_ani=0.9221202973899911,
+        match_containment_ani=0.8929697781452893,
+        average_containment_ani=0.9075450377676402,
+        max_containment_ani=0.9221202973899911,
+        n_weighted_found=1,
+        total_weighted_hashes=230,
+        containment_target_in_query=0.004366812227074236,
+        f_weighted_target_in_query=0.004347826086956522,
+    ),
+    "BAK": dict(
+        containment=0.02040816326530612,
+        intersect_hashes=1,
+        match_md5="1f59cdb10b02a7c6baff18b034518599",
+        jaccard=0.011111111111111112,
+        max_containment=0.023809523809523808,
+        query_containment_ani=0.9221202973899911,
+        match_containment_ani=0.9250864216273635,
+        average_containment_ani=0.9236033595086773,
+        max_containment_ani=0.9250864216273635,
+        n_weighted_found=1,
+        total_weighted_hashes=42,
+        containment_target_in_query=0.023809523809523808,
+        f_weighted_target_in_query=0.023809523809523808,
+    ),
+    "BBC3": dict(
+        containment=0.04081632653061224,
+        intersect_hashes=2,
+        match_md5="1d49aa1205276b9ba0176c6680cacd6d",
+        jaccard=0.024390243902439025,
+        max_containment=0.05714285714285714,
+        query_containment_ani=0.9355328459682174,
+        match_containment_ani=0.9421138187376149,
+        average_containment_ani=0.9388233323529162,
+        max_containment_ani=0.9421138187376149,
+        n_weighted_found=2,
+        total_weighted_hashes=35,
+        containment_target_in_query=0.05714285714285714,
+        f_weighted_target_in_query=0.05714285714285714,
+    ),
+    "FBX10": dict(
+        containment=0.061224489795918366,
+        intersect_hashes=3,
+        match_md5="97f5f83c6214d6792113785b96747383",
+        jaccard=0.014354066985645933,
+        max_containment=0.061224489795918366,
+        query_containment_ani=0.9434689410983454,
+        match_containment_ani=0.9201376138657374,
+        average_containment_ani=0.9318032774820415,
+        max_containment_ani=0.9434689410983454,
+        n_weighted_found=3,
+        total_weighted_hashes=164,
+        containment_target_in_query=0.018404907975460124,
+        f_weighted_target_in_query=0.018292682926829267,
+    ),
+}
+
+
+def test_manysearch_golden(ced9_vs_bcl2):
+    query, target = ced9_vs_bcl2
+    rows = manysearch(query, target)
+    assert len(rows) == 5
+    for row in rows:
+        assert row["query_md5"] == "fe3714626e8180caf90f78091563aae6"
+        assert row["ksize"] == 48
+        assert row["scaled"] == 5
+        assert row["moltype"] == "hp"
+        assert row["average_abund"] == 1.0
+        assert row["median_abund"] == 1.0
+        assert row["std_abund"] == 0.0
+        tag = next(t for t in GOLDEN if t in row["match_name"])
+        for key, expect in GOLDEN[tag].items():
+            got = row[key]
+            if isinstance(expect, float):
+                assert got == pytest.approx(expect, rel=1e-12, abs=1e-15), (
+                    tag,
+                    key,
+                )
+            else:
+                assert got == expect, (tag, key)
+
+
+def test_manysearch_csv_shape(ced9_vs_bcl2):
+    query, target = ced9_vs_bcl2
+    rows = manysearch(query, target)
+    data = rows_to_csv(rows, MANYSEARCH_COLUMNS)
+    lines = data.strip().split("\n")
+    assert lines[0] == ",".join(MANYSEARCH_COLUMNS)
+    parsed = list(csv.DictReader(data.splitlines()))
+    assert len(parsed) == 5
+    # BBC3's name contains a comma — must be quoted & round-trip
+    assert any("BBC3" in r["match_name"] and "," in r["match_name"] for r in parsed)
+
+
+def test_multisearch_matches_fixture(ced9_vs_bcl2):
+    query, target = ced9_vs_bcl2
+    rows = multisearch(query, target)
+    fixture_path = (
+        "/root/reference/tests/testdata/index/ced9-bcl2-first25.hp.k16.manysearch.csv"
+    )
+    with open(fixture_path) as f:
+        fixture = {r["match_name"]: r for r in csv.DictReader(f)}
+    assert len(rows) == len(fixture) == 5
+    for row in rows:
+        ref = fixture[row["match_name"]]
+        for col in MULTISEARCH_COLUMNS:
+            got = row[col]
+            if isinstance(got, float):
+                assert got == pytest.approx(float(ref[col]), rel=1e-12), (
+                    row["match_name"],
+                    col,
+                )
+            else:
+                assert str(got) == ref[col], (row["match_name"], col)
+
+
+def test_self_search_identity(ced9_vs_bcl2):
+    """Self-search: every protein matches itself with containment 1."""
+    _query, target = ced9_vs_bcl2
+    rows = manysearch(target, target)
+    self_rows = [r for r in rows if r["query_name"] == r["match_name"]]
+    assert len(self_rows) == len(target)
+    for r in self_rows:
+        assert r["containment"] == 1.0
+        assert r["jaccard"] == 1.0
+        assert r["query_containment_ani"] == 1.0
+
+
+def test_param_mismatch_raises(ced9_vs_bcl2):
+    query, target = ced9_vs_bcl2
+    other = ProteomeIndex.from_signatures(
+        [target.signature(0)], IndexConfig(16, 5, "hp")
+    )
+    other.config = IndexConfig(24, 5, "hp")
+    with pytest.raises(ValueError):
+        manysearch(query, other)
