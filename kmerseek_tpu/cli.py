@@ -1,0 +1,152 @@
+"""kmerseek-compatible click CLI: ``index`` and ``search`` commands.
+
+Same surface as the reference (/root/reference/src/python/kmerseek/
+main.py:8-14, index.py:77-118, search.py:287-373): same subcommands,
+flags, defaults (moltype=hp, ksize=24, scaled=5), filename conventions,
+stdout/stderr contract, and --force semantics. The compute underneath
+is the TPU engine instead of sourmash/branchwater FFI.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from tempfile import NamedTemporaryFile
+
+import click
+
+from .core.entity import KmerseekIndex, KmerseekQuery
+from .core.search import (
+    MANYSEARCH_COLUMNS,
+    manysearch,
+    rows_to_csv,
+    write_search_csv,
+)
+from .core.stitch import stitch_results, stitched_to_csv
+from .utils.logging import logger, setup_logging
+
+
+@click.group()
+def cli():
+    """kmerseek-tpu: protein domain annotation search with reduced
+    amino acid k-mers, TPU-native."""
+
+
+@cli.command()
+@click.argument("fasta")
+@click.option("--moltype", default="hp")
+@click.option("--ksize", type=int, default=24)
+@click.option("--scaled", type=int, default=5)
+@click.option("--extract-kmers", is_flag=True, default=False)
+@click.option("--debug", is_flag=True, help="Enable debug logging")
+@click.option(
+    "--force",
+    is_flag=True,
+    help="Force creation of signature, kmer parquet, and index even if "
+    "they're already there",
+)
+def index(fasta, moltype, ksize, scaled, extract_kmers, debug, force):
+    """Index a proteome FASTA (reference index.py:77-118 contract)."""
+    setup_logging(debug)
+    entity = KmerseekIndex(
+        fasta,
+        moltype=moltype,
+        ksize=ksize,
+        scaled=scaled,
+        force=force,
+        extract_kmers=extract_kmers,
+    )
+    if extract_kmers:
+        logger.info("K-mer extraction will be performed during indexing.")
+    else:
+        logger.info("K-mer extraction will be skipped during indexing.")
+    _ = entity.sig
+    _ = entity.ksx
+    if extract_kmers:
+        logger.info("K-mers stored in: %s", entity.kmers_pq)
+
+
+@cli.command()
+@click.argument("query_fasta")
+@click.argument("target_fasta")
+@click.option("--moltype", default="hp")
+@click.option("--ksize", type=int, default=24)
+@click.option("--scaled", type=int, default=5)
+@click.option("--extract-kmers", is_flag=True, default=False)
+@click.option(
+    "--output", default=None, help="If not specified, then output results to stdout"
+)
+@click.option(
+    "--sourmash-search-csv",
+    default=None,
+    help=(
+        "Store sourmash search results in this CSV. If not specified, then "
+        "a temporary file is created. Mostly for debugging purposes"
+    ),
+)
+@click.option("--debug", is_flag=True, help="Enable debug logging")
+@click.option(
+    "--force",
+    is_flag=True,
+    help="Force creation of signature, kmer parquet, and index even if "
+    "they're already there",
+)
+def search(
+    query_fasta,
+    target_fasta,
+    moltype,
+    ksize,
+    scaled,
+    extract_kmers,
+    output,
+    sourmash_search_csv,
+    debug,
+    force,
+):
+    """Search for k-mers in target sequences (search.py:287-373 contract)."""
+    setup_logging(debug)
+
+    query = KmerseekQuery(
+        query_fasta,
+        moltype=moltype,
+        ksize=ksize,
+        scaled=scaled,
+        force=force,
+        extract_kmers=extract_kmers,
+    )
+    _ = query.sig
+    _ = query.kmers_pq
+    target = KmerseekIndex(
+        target_fasta,
+        moltype=moltype,
+        ksize=ksize,
+        scaled=scaled,
+        force=force,
+        extract_kmers=extract_kmers,
+    )
+    _ = target.sig
+
+    rows = manysearch(query.index, target.index)
+
+    if sourmash_search_csv:
+        write_search_csv(rows, MANYSEARCH_COLUMNS, sourmash_search_csv)
+
+    if extract_kmers:
+        stitched, report = stitch_results(
+            rows, query.kmers_dataframe, target.kmers_dataframe
+        )
+        click.echo(report, err=True)
+        sys.stderr.flush()
+        data = stitched_to_csv(stitched)
+        if output is None:
+            sys.stdout.write(data)
+            sys.stdout.flush()
+        else:
+            with open(output, "w") as f:
+                f.write(data)
+    else:
+        write_search_csv(rows, MANYSEARCH_COLUMNS, output)
+
+
+if __name__ == "__main__":
+    cli()

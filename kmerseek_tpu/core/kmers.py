@@ -115,15 +115,29 @@ def read_kmer_table(path: str) -> pa.Table:
 
 
 def kmer_table_for_index(index, sequence_file: Optional[str] = None) -> pa.Table:
-    """Extract the table for a built ProteomeIndex (needs raw sequences)."""
-    if index.sequences is None:
-        raise ValueError(
-            "index was built without store_raw_sequences; re-build with "
-            "store_raw_sequences=True to extract k-mers"
+    """Extract the table for a built ProteomeIndex.
+
+    Uses stored raw sequences when present; otherwise re-reads the
+    source FASTA (mirroring the reference, which re-kmerizes from the
+    saved sequences, sig2kmer.py:186-219)."""
+    sequences = index.sequences
+    if sequences is None:
+        if not index.source_fasta or not os.path.exists(index.source_fasta):
+            raise ValueError(
+                "index has neither stored sequences nor a readable "
+                "source_fasta; re-build with store_raw_sequences=True"
+            )
+        from .alphabet import validate_resolve_batch
+        from .fasta import read_fasta
+
+        records = read_fasta(index.source_fasta)
+        by_name = {r.name: r.seq for r in records}
+        sequences = validate_resolve_batch(
+            [by_name[n] for n in index.names], index.names
         )
     return extract_kmer_table(
         index.names,
-        index.sequences,
+        sequences,
         ksize=index.config.ksize,
         scaled=index.config.scaled,
         moltype=index.config.moltype,

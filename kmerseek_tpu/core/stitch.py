@@ -1,0 +1,162 @@
+"""K-mer stitching: join matched hashes back to k-mers and stitch maximal
+matched segments — the "domain annotation" output.
+
+Exact behavioral port of the reference's result post-processing
+(/root/reference/src/python/kmerseek/search.py:37-121, 195-276), with
+pandas standing in for polars (polars is unavailable in this image):
+
+* query k-mer table ⋈ target k-mer table on (encoded, hashval)
+  (search.py:169, 204-213) — hp/dayhoff collisions fan out naturally;
+* ⋈ search results on (match_name, query_name) (search.py:215-220);
+* per match_name group (reference groups by match_name only —
+  search.py:222-240 — a quirk kept for parity), rows sorted by
+  start_query, k-mers are stitched: first k-mer whole, then each next
+  k-mer contributes its last (Δstart) characters
+  (single_stitch_together_kmers, search.py:37-58; note Δ==0 appends the
+  *whole* k-mer — Python slicing quirk kept);
+* the stitched "query" string advances by Δstart_match while "alpha"
+  advances by Δstart_query (search.py:79-81) — kept verbatim;
+* coordinates are 0-based half-open (search.py:92-96).
+
+Output: the 10-column stitched CSV (match_name, query_name,
+query_start, query_end, query, match_start, match_end, match, encoded,
+length) sorted by (query_start, query_end), plus the exact stderr
+report text pinned by /root/reference/tests/test_search.py:103-139.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pandas as pd
+
+STITCH_COLUMNS = [
+    "match_name",
+    "query_name",
+    "query_start",
+    "query_end",
+    "query",
+    "match_start",
+    "match_end",
+    "match",
+    "encoded",
+    "length",
+]
+
+
+def single_stitch_together_kmers(kmers: Sequence[str], i_kmers: Sequence[int]) -> str:
+    """search.py:37-58, including the Δ==0 whole-k-mer append quirk."""
+    stitched = ""
+    prev = 0
+    for i, (i_kmer, kmer) in enumerate(zip(i_kmers, kmers)):
+        if i == 0:
+            stitched = kmer
+        else:
+            delta = i_kmer - prev
+            stitched += kmer[len(kmer) - delta :] if delta > 0 else kmer
+        prev = i_kmer
+    return stitched
+
+
+def stitch_group(group: pd.DataFrame) -> Dict:
+    """search.py:61-121 for one (match_name) group."""
+    df = group.sort_values("start_query", kind="mergesort")
+    match_name = df["match_name"].iloc[0]
+    query_name = df["query_name"].iloc[0]
+
+    query = single_stitch_together_kmers(
+        list(df["kmer_query"]), list(df["start_match"])
+    )
+    alphabet = single_stitch_together_kmers(
+        list(df["encoded"]), list(df["start_query"])
+    )
+    match = single_stitch_together_kmers(
+        list(df["kmer_match"]), list(df["start_match"])
+    )
+    assert len(query) == len(alphabet) == len(match), (
+        f"stitched length mismatch for {match_name}: "
+        f"{len(query)}/{len(alphabet)}/{len(match)}"
+    )
+    length = len(query)
+    match_start = int(df["start_match"].min())
+    query_start = int(df["start_query"].min())
+    match_end = match_start + length
+    query_end = query_start + length
+    to_print = (
+        f"\n---\nQuery Name: {query_name}"
+        f"\nMatch Name: {match_name}"
+        f"\nquery: {query} ({query_start}-{query_end})\n"
+        f"alpha: {alphabet}\n"
+        f"match: {match} ({match_start}-{match_end})"
+    )
+    return {
+        "match_name": match_name,
+        "query_name": query_name,
+        "query_start": query_start,
+        "query_end": query_end,
+        "query": query,
+        "match_start": match_start,
+        "match_end": match_end,
+        "match": match,
+        "encoded": alphabet,
+        "length": length,
+        "to_print": to_print,
+    }
+
+
+def _prep_kmers(kmers: pd.DataFrame, suffix: str) -> pd.DataFrame:
+    """search.py:198-202: rename kmer/start/sequence_name/sequence_file."""
+    renamer = {
+        c: f"{c}{suffix}" for c in ("kmer", "start", "sequence_name", "sequence_file")
+    }
+    return kmers.rename(columns=renamer)
+
+
+def join_query_target_kmers(
+    query_kmers: pd.DataFrame, target_kmers: pd.DataFrame
+) -> pd.DataFrame:
+    """search.py:204-213: inner join on (encoded, hashval)."""
+    q = _prep_kmers(query_kmers, "_query")
+    t = _prep_kmers(target_kmers, "_match")
+    return q.merge(t, on=["encoded", "hashval"], how="inner")
+
+
+def stitch_results(
+    search_rows: Sequence[Dict],
+    query_kmers: pd.DataFrame,
+    target_kmers: pd.DataFrame,
+) -> Tuple[pd.DataFrame, str]:
+    """Full post-processing: returns (stitched df, stderr report text)."""
+    results = pd.DataFrame(
+        [
+            {"match_name": r["match_name"], "query_name": r["query_name"]}
+            for r in search_rows
+        ]
+    )
+    kmers = join_query_target_kmers(query_kmers, target_kmers)
+    merged = results.merge(
+        kmers,
+        left_on=["match_name", "query_name"],
+        right_on=["sequence_name_match", "sequence_name_query"],
+        how="inner",
+    )
+    if merged.empty:
+        return pd.DataFrame(columns=STITCH_COLUMNS), ""
+    stitched = pd.DataFrame(
+        [stitch_group(g) for _name, g in merged.groupby("match_name", sort=False)]
+    ).sort_values(["query_start", "query_end"], kind="mergesort")
+    report = "\n".join(stitched["to_print"]) + "\n"
+    return stitched[STITCH_COLUMNS].reset_index(drop=True), report
+
+
+def stitched_to_csv(stitched: pd.DataFrame) -> str:
+    """10-column CSV, reference column order (search.py:249-263)."""
+    import csv as _csv
+    import io
+
+    buf = io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n")
+    w.writerow(STITCH_COLUMNS)
+    for _, row in stitched.iterrows():
+        w.writerow([row[c] for c in STITCH_COLUMNS])
+    return buf.getvalue()
