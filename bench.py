@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""kmerseek-tpu benchmark — prints ONE JSON line for the driver.
+
+Metric: sustained k-mer sketch throughput (kmers/s) of the fused
+encode+murmur64+scaled-filter+compact pipeline on one TPU chip, over
+the reference's large bench corpus (uniprotkb "Uncharacterized",
+2841 proteins; synthetic fallback if unavailable), hp / k=24 / scaled=5
+— the reference CLI's default sketch configuration.
+
+vs_baseline: ratio against the single-thread native C++ CPU sketcher
+(libkseek), the stand-in for the reference's Rust/rayon per-core hot
+loop (the Rust toolchain is not available in this image — BASELINE.md).
+The multithreaded CPU number is also reported in the JSON for context.
+
+Timing method: per-iteration device timing is polluted by the axon
+tunnel's host round-trip, so the steady-state loop enqueues N dispatches
+over *distinct* pre-staged input buffers (no result reuse possible) and
+blocks once at the end; reported time = (total - one warm dispatch)/N.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS = (
+    "/root/reference/tests/testdata/fasta/"
+    "uniprotkb_protein_name_Uncharacterized_2025_04_15.fasta.gz"
+)
+K, SCALED, MOLTYPE = 24, 5, "hp"
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")
+
+
+def load_corpus():
+    from kmerseek_tpu.core.alphabet import validate_resolve_batch
+    from kmerseek_tpu.core.fasta import read_fasta
+
+    if os.path.exists(CORPUS):
+        recs = read_fasta(CORPUS)
+        return validate_resolve_batch([r.seq for r in recs])
+    rng = np.random.default_rng(0)
+    letters = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8)
+    return [
+        bytes(letters[rng.integers(0, 20, size=int(n))])
+        for n in rng.normal(240, 120, size=2841).clip(30, 4000)
+    ]
+
+
+def cpu_baseline(seqs):
+    """Single-thread + multithread native C++ kmers/s (cached)."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)
+    from kmerseek_tpu import native
+    from kmerseek_tpu.ops.encoding import encode_bytes_np, max_hash_for_scaled
+
+    if not native.available():
+        return {"cpu_1t": None, "cpu_mt": None}
+    enc = [
+        encode_bytes_np(np.frombuffer(s, np.uint8), MOLTYPE).tobytes() for s in seqs
+    ]
+    concat = b"".join(enc)
+    offs = np.zeros(len(enc) + 1, np.int64)
+    for i, e in enumerate(enc):
+        offs[i + 1] = offs[i] + len(e)
+    mh = max_hash_for_scaled(SCALED)
+    out = {}
+    for tag, nt in (("cpu_1t", 1), ("cpu_mt", os.cpu_count())):
+        best = 0.0
+        for _ in range(3):
+            secs, total = native.sketch_cpu_batch_throughput(concat, offs, K, mh, nt)
+            best = max(best, total / secs)
+        out[tag] = best
+    with open(CACHE, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def pack_buckets(seqs):
+    """Length-bucketed padded batches (bound padding waste)."""
+    from kmerseek_tpu.core.fasta import pack_batch
+
+    order = np.argsort([len(s) for s in seqs])
+    buckets = []
+    edges = (256, 512, 1024, 2048, 4096, 8192, 16384, 1 << 30)
+    groups = {}
+    for i in order:
+        ln = len(seqs[i])
+        for e in edges:
+            if ln <= e:
+                groups.setdefault(e, []).append(i)
+                break
+    for e, idxs in sorted(groups.items()):
+        batch = [seqs[i] for i in idxs]
+        arr, lens = pack_batch(batch, min_len=min(e, 256))
+        buckets.append((arr, lens))
+    return buckets
+
+
+def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
+    """Sustained device throughput of the full sweep.
+
+    Method: the whole (replicated) corpus is processed by ONE jitted
+    program per sweep (a single dispatch — per-call submission over the
+    axon tunnel costs ~1 ms); sweeps are chained through a scalar data
+    dependency so the single final host fetch forces every sweep to
+    have executed (block_until_ready has proven unreliable over the
+    tunnel); one measured scalar round-trip of pure latency is
+    subtracted."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.sketch import compact_window_hashes, sketch_capacity
+
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    staged = []
+    caps = []
+    total_kmers = 0
+    for arr, lens in buckets:
+        rep = max(replicate // max(arr.shape[0] // 512, 1), 1) if replicate else 1
+        arr = np.concatenate([arr] * rep, axis=0) if rep > 1 else arr
+        lens = np.concatenate([lens] * rep) if rep > 1 else lens
+        cap = sketch_capacity(arr.shape[1], K, SCALED)
+        caps.append(max((cap + 127) // 128 * 128, 128))
+        staged.append(
+            (jax.device_put(jnp.asarray(arr)), jax.device_put(jnp.asarray(lens)))
+        )
+        total_kmers += int(np.maximum(lens - (K - 1), 0).sum())
+
+    def sweep(args, dep):
+        total = dep
+        for (arr, lens), cap in zip(args, caps):
+            out = compact_window_hashes(
+                arr,
+                lens - (dep % 2).astype(lens.dtype),
+                k=K,
+                scaled=SCALED,
+                moltype=MOLTYPE,
+                capacity=cap,
+                use_pallas=use_pallas,
+            )
+            total = total + out[2].sum()
+        return total
+
+    sweep_jit = jax.jit(sweep)
+
+    warm = int(sweep_jit(staged, jnp.int32(0)))  # compile + sync
+
+    trivial = jax.jit(lambda d: d + 1)
+    int(trivial(jnp.int32(0)))
+    t0 = time.perf_counter()
+    int(trivial(jnp.int32(1)))
+    latency = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dep = jnp.int32(0)
+    for _ in range(iters):
+        dep = sweep_jit(staged, dep)
+    final = int(dep)  # single host fetch forces the whole chain
+    dt = max(time.perf_counter() - t0 - latency, 1e-9) / iters
+    assert final > 0 and warm > 0
+    return total_kmers / dt, total_kmers
+
+
+def main():
+    seqs = load_corpus()
+    cpu = cpu_baseline(seqs)
+    buckets = pack_buckets(seqs)
+    tpu_rate, total_kmers = tpu_throughput(buckets)
+    baseline = cpu.get("cpu_1t") or None
+    result = {
+        "metric": "sketch_kmers_per_second",
+        "value": tpu_rate,
+        "unit": "kmers/s",
+        "vs_baseline": (tpu_rate / baseline) if baseline else None,
+        "detail": {
+            "corpus_kmers": total_kmers,
+            "config": f"{MOLTYPE},k={K},scaled={SCALED}",
+            "cpu_1t_kmers_per_s": cpu.get("cpu_1t"),
+            "cpu_mt_kmers_per_s": cpu.get("cpu_mt"),
+            "n_sequences": len(seqs),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,34 +84,54 @@ def window_hashes(
     return hashes, keep
 
 
-def _compact_row(h_hi, h_lo, keep, capacity: int):
-    """Sort one row's window hashes, dedup runs, scatter-compact to (S,)."""
-    # Invalid windows sort to the end: force their key to u64::MAX and keep
-    # an explicit validity flag so a genuine 2^64-1 hash is still handled.
+def _compact_valid_row(h_hi, h_lo, keep, capacity: int):
+    """Gather the kept window hashes of one row into (S,) slots (no sort).
+
+    Kept order is window order; slots ≥ n hold u64::MAX sentinels."""
+    uid = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n = keep.astype(jnp.int32).sum()
+    idx = jnp.where(keep, uid, jnp.int32(capacity))
     big = jnp.uint32(0xFFFFFFFF)
-    key_hi = jnp.where(keep, h_hi, big)
-    key_lo = jnp.where(keep, h_lo, big)
-    s_hi, s_lo, s_keep = jax.lax.sort(
-        (key_hi, key_lo, keep.astype(jnp.int32)), num_keys=2
-    )
-    s_keep = s_keep.astype(bool)
+    out_hi = jnp.full((capacity,), big).at[idx].set(h_hi, mode="drop")
+    out_lo = jnp.full((capacity,), big).at[idx].set(h_lo, mode="drop")
+    return out_hi, out_lo, n
+
+
+def _dedup_sorted_row(s_hi, s_lo, n_valid, capacity: int):
+    """Run-length dedup of one row's *sorted* hashes → mins + abundances."""
+    S = s_hi.shape[0]
+    idx1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+    valid = idx1 < n_valid
     prev_same = jnp.concatenate(
         [
             jnp.zeros((1,), bool),
             (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]),
         ]
     )
-    is_new = s_keep & ~prev_same
+    is_new = valid & ~prev_same
     uid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     count = is_new.astype(jnp.int32).sum()
-
     drop = jnp.int32(capacity)
     new_idx = jnp.where(is_new, uid, drop)
-    occ_idx = jnp.where(s_keep, uid, drop)
+    occ_idx = jnp.where(valid, uid, drop)
     mins_hi = jnp.zeros((capacity,), jnp.uint32).at[new_idx].set(s_hi, mode="drop")
     mins_lo = jnp.zeros((capacity,), jnp.uint32).at[new_idx].set(s_lo, mode="drop")
     abund = jnp.zeros((capacity,), jnp.int32).at[occ_idx].add(1, mode="drop")
     return mins_hi, mins_lo, abund, count
+
+
+def _compact_row(h_hi, h_lo, keep, capacity: int):
+    """Sort one row's kept window hashes, dedup runs, compact to (S,).
+
+    Cost note: XLA's TPU sort is the expensive stage, so the row is
+    first compacted to ``capacity`` slots (≈ W/scaled) and only then
+    sorted, and the sort uses the two hash words alone — kept hashes
+    can never equal the u64::MAX sentinel because max_hash < 2^64-1 for
+    scaled > 1, and for scaled = 1 a colliding real hash has
+    probability 2^-64 per k-mer (documented, ignored)."""
+    c_hi, c_lo, n = _compact_valid_row(h_hi, h_lo, keep, capacity)
+    s_hi, s_lo = jax.lax.sort((c_hi, c_lo), num_keys=2)
+    return _dedup_sorted_row(s_hi, s_lo, n, capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "scaled", "moltype", "capacity"))
@@ -141,6 +161,62 @@ def sketch_batch(
         functools.partial(_compact_row, capacity=capacity)
     )(hashes.hi, hashes.lo, keep)
     return SketchBatch(mins_hi, mins_lo, abund, counts)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "scaled", "moltype", "capacity", "use_pallas"))
+def compact_window_hashes(
+    seqs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    k: int,
+    scaled: int,
+    moltype: str,
+    capacity: int,
+    use_pallas: bool = False,
+):
+    """Device fast path: hash + filter + compact, **no sort**.
+
+    Returns ``(hi, lo, counts)`` with the kept hashes of each row packed
+    (in window order) into (B, S) slots. The per-row sort/unique/abund
+    finalization is O(W/scaled) and is done on host by
+    ``finalize_sketches_np`` — the device spends its time on the
+    compute-bound murmur stage, and host transfer shrinks by ~scaled×.
+    """
+    if use_pallas:
+        from .sketch_pallas import window_hashes_pallas
+
+        hashes, keep = window_hashes_pallas(
+            seqs, lengths, k=k, scaled=scaled, moltype=moltype
+        )
+        W = seqs.shape[-1] - k + 1
+        hashes = U64(hashes.hi[:, :W], hashes.lo[:, :W])
+        keep = keep[:, :W]
+    else:
+        hashes, keep = window_hashes(seqs, lengths, k, scaled, moltype)
+    hi, lo, counts = jax.vmap(
+        functools.partial(_compact_valid_row, capacity=capacity)
+    )(hashes.hi, hashes.lo, keep)
+    return hi, lo, counts
+
+
+def finalize_sketches_np(hi, lo, counts):
+    """Host finalize: per-row numpy sort + unique + abundance.
+
+    Returns (list of sorted uint64 mins, list of int64 abundances)."""
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    counts = np.asarray(counts)
+    if counts.max(initial=0) > hi.shape[1]:
+        raise ValueError(
+            f"compact capacity overflow: {counts.max()} > {hi.shape[1]}"
+        )
+    h64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    mins_out, ab_out = [], []
+    for i in range(h64.shape[0]):
+        uniq, cnt = np.unique(h64[i, : counts[i]], return_counts=True)
+        mins_out.append(uniq)
+        ab_out.append(cnt.astype(np.int64))
+    return mins_out, ab_out
 
 
 def sketch_capacity(max_len: int, k: int, scaled: int) -> int:

@@ -1,0 +1,200 @@
+"""Multi-chip distribution: data-parallel sketching + sharded search.
+
+The reference is single-node (rayon threads only, SURVEY.md §2.6); the
+TPU-native scale-out plan (BASELINE.json north star) is:
+
+* **Sketch build — data parallel**: the sequence batch axis is sharded
+  across the mesh; every chip runs the fused sketch kernel on its rows.
+  No communication.
+* **Index sharding — the workload's "tensor parallelism"**: the target
+  signature axis (T) is sharded across chips; each chip holds a slice
+  of the padded (T, S) hash arrays in its HBM.
+* **Search — broadcast + concat**: query sketches are all-gathered over
+  ICI (queries are tiny: ~L/scaled hashes each), every chip intersects
+  them against its local target shard, and the (Q, T/D) stat blocks
+  concatenate — no cross-chip reduction is needed because each target
+  lives on exactly one shard. Corpus-level reductions (e.g. total hash
+  count, distinct-hash stats) use ``jax.lax.psum``.
+
+Everything is expressed with ``shard_map`` over a 1-D ``Mesh`` so the
+same program runs on 1 chip, an 8-device virtual CPU mesh (tests), or a
+multi-host slice (``jax.distributed.initialize`` + the same mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older JAX
+    from jax.experimental.shard_map import shard_map
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def pad_to_multiple(arr: np.ndarray, mult: int, axis: int = 0, fill=0) -> np.ndarray:
+    pad = (-arr.shape[axis]) % mult
+    if not pad:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def shard_targets(mesh: Mesh, t_hi, t_lo, t_ab, t_counts):
+    """Place padded target arrays with the T axis sharded over the mesh.
+
+    Rows are padded to a multiple of the mesh size with empty sketches
+    (count 0, u64::MAX sentinels) which can never match a query."""
+    n = mesh.devices.size
+    t_hi = pad_to_multiple(np.asarray(t_hi), n, fill=0xFFFFFFFF)
+    t_lo = pad_to_multiple(np.asarray(t_lo), n, fill=0xFFFFFFFF)
+    t_ab = pad_to_multiple(np.asarray(t_ab), n, fill=0)
+    t_counts = pad_to_multiple(np.asarray(t_counts), n, fill=0)
+    sh = NamedSharding(mesh, P(AXIS, None))
+    sh1 = NamedSharding(mesh, P(AXIS))
+    return (
+        jax.device_put(t_hi, sh),
+        jax.device_put(t_lo, sh),
+        jax.device_put(t_ab, sh),
+        jax.device_put(t_counts, sh1),
+    )
+
+
+def sharded_pairwise_stats(mesh: Mesh, q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts):
+    """(Q, T) pair stats with T sharded; queries replicated.
+
+    Output is sharded over its T axis; callers usually pull it to host
+    (it is Q×T int32 — tiny next to the index itself)."""
+    from ..ops.intersect import pairwise_stats
+
+    def local(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts):
+        return pairwise_stats(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(None), P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS)),
+        out_specs=P(None, AXIS),
+    )
+    return fn(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+
+
+class DistPipelineOut(NamedTuple):
+    intersect: jnp.ndarray  # (B_global, T_padded) int32
+    weighted: jnp.ndarray
+    total_retained: jnp.ndarray  # () int32 — psum over shards
+
+
+def make_dist_pipeline_step(
+    mesh: Mesh, *, k: int, scaled: int, moltype: str, capacity: int, use_pallas: bool = False
+):
+    """The full device step, sharded: sketch (dp) → all_gather queries
+    (ICI) → intersect vs local target shard (index sharding).
+
+    Returns a jitted function of
+      (seqs (B, L) uint8 [B sharded], lengths (B,) [sharded],
+       t_hi/t_lo/t_ab (T, S) [T sharded], t_counts (T,) [T sharded])
+    """
+    from ..ops.intersect import pairwise_stats
+    from ..ops.sketch import _compact_valid_row, window_hashes
+
+    def local_step(seqs, lengths, t_hi, t_lo, t_ab, t_counts):
+        # --- data-parallel sketch of the local sequence rows ---
+        if use_pallas:
+            from ..ops.sketch_pallas import window_hashes_pallas
+
+            hashes, keep = window_hashes_pallas(
+                seqs, lengths, k=k, scaled=scaled, moltype=moltype
+            )
+            W = seqs.shape[-1] - k + 1
+            hashes = type(hashes)(hashes.hi[:, :W], hashes.lo[:, :W])
+            keep = keep[:, :W]
+        else:
+            hashes, keep = window_hashes(seqs, lengths, k, scaled, moltype)
+        c_hi, c_lo, n = jax.vmap(
+            functools.partial(_compact_valid_row, capacity=capacity)
+        )(hashes.hi, hashes.lo, keep)
+        s_hi, s_lo = jax.lax.sort((c_hi, c_lo), num_keys=2)
+
+        # --- broadcast query sketches over ICI ---
+        g_hi = jax.lax.all_gather(s_hi, AXIS, tiled=True)
+        g_lo = jax.lax.all_gather(s_lo, AXIS, tiled=True)
+        g_n = jax.lax.all_gather(n, AXIS, tiled=True)
+
+        # --- intersect all queries against the local target shard ---
+        stats = pairwise_stats(g_hi, g_lo, g_n, t_hi, t_lo, t_ab, t_counts)
+
+        total = jax.lax.psum(n.sum(), AXIS)
+        return stats.intersect, stats.weighted, total
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS, None),
+            P(AXIS),
+            P(AXIS, None),
+            P(AXIS, None),
+            P(AXIS, None),
+            P(AXIS),
+        ),
+        out_specs=(P(None, AXIS), P(None, AXIS), P()),
+    )
+    return jax.jit(fn)
+
+
+def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = None):
+    """Sharded version of the manysearch device stage.
+
+    Returns host numpy (intersect, weighted, weighted_sq, median2)
+    matching ``core.search._device_pair_stats`` — target padding rows
+    are stripped before returning."""
+    from ..ops.intersect import pairwise_stats
+
+    mesh = mesh or make_mesh()
+    q_hi, q_lo, _q_ab, q_counts = query_index.dense_device_arrays()
+    th, tl, ta, tc = target_index.dense_device_arrays()
+    T = len(target_index)
+    t_hi, t_lo, t_ab, t_counts = shard_targets(mesh, th, tl, ta, tc)
+
+    def local(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts):
+        s = pairwise_stats(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+        return s.intersect, s.weighted, s.weighted_sq, s.median2
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),
+                P(None, None),
+                P(None),
+                P(AXIS, None),
+                P(AXIS, None),
+                P(AXIS, None),
+                P(AXIS),
+            ),
+            out_specs=(P(None, AXIS),) * 4,
+        )
+    )
+    n, w, wsq, med2 = fn(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+    return (
+        np.asarray(n)[:, :T],
+        np.asarray(w)[:, :T],
+        np.asarray(wsq)[:, :T],
+        np.asarray(med2)[:, :T],
+    )
