@@ -1,0 +1,128 @@
+"""Support-module parity tests: metrics, config, iterators, uniprot,
+native CLI surface."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_metrics_rates():
+    from kmerseek_tpu.utils.metrics import IndexMetrics, MetricsCollector, time_operation
+
+    m = IndexMetrics(kmers_processed=1000, processing_time_secs=2.0)
+    assert m.kmers_per_second == 500.0
+    c = MetricsCollector()
+    c.record_kmers(10)
+    c.record_signatures(2)
+    c.record_cache(True)
+    c.record_cache(False)
+    snap = c.snapshot()
+    assert snap.kmers_processed == 10
+    assert snap.cache_hit_rate == 0.5
+    sink = {}
+    with time_operation("op", sink):
+        pass
+    assert "op" in sink
+
+
+def test_performance_config():
+    from kmerseek_tpu.utils.config import PerformanceConfig, PerformanceConfigBuilder
+
+    cfg = (
+        PerformanceConfigBuilder()
+        .host_threads(2)
+        .batch_size(500)
+        .enable_metrics()
+        .build()
+    )
+    assert cfg.effective_thread_count == 2
+    assert cfg.batch_size == 500
+    assert PerformanceConfig().effective_thread_count >= 1
+    with pytest.raises(ValueError):
+        PerformanceConfigBuilder().batch_size(0).build()
+
+
+@pytest.fixture
+def kmer_table():
+    return pd.DataFrame(
+        {
+            "sequence_file": ["f"] * 5,
+            "sequence_name": ["s1", "s1", "s1", "s2", "s2"],
+            "kmer": ["AAAAA", "CCCCC", "AAAAA", "GGGGG", "TTTTT"],
+            "hashval": np.array([11, 22, 11, 33, 44], np.uint64),
+            "encoded": ["hhhhh", "ppppp", "hhhhh", "hhhhh", "ppppp"],
+            "start": np.array([0, 3, 10, 2, 4], np.uint32),
+        }
+    )
+
+
+def test_iterators_functional(kmer_table):
+    from kmerseek_tpu.core import iterators as it
+
+    infos = dict(it.iter_kmer_infos(kmer_table))
+    assert set(infos) == {11, 22, 33, 44}
+    assert it.unique_kmer_count(kmer_table, 11) == 1
+    assert it.total_occurrences(kmer_table, 11) == 2
+    assert it.has_position(kmer_table, 11, 10)
+    assert not it.has_position(kmer_table, 11, 5)
+
+    groups = it.group_kmers_by_count(kmer_table)
+    assert 11 in groups[2] and 22 in groups[1]
+    assert it.find_multi_position_kmers(kmer_table) == [11]
+    # s1 windows at starts {0, 3, 10}; k=5 → overlap only (0, 3)
+    assert it.find_overlapping_kmers(kmer_table, "s1", 5) == [(0, 3)]
+    assert it.calculate_kmer_density(kmer_table, "s1", 14, 5) == 0.3
+
+
+def test_uniprot_stub_and_xml():
+    from kmerseek_tpu.core.uniprot import get_domains
+
+    # stub behavior (no XML): None, reference parity
+    assert get_domains("sp|P10415|BCL2_HUMAN", 0, 100) is None
+
+    xml = "/root/reference/tests/testdata/index/uniprotkb_gene_bcl2_AND_reviewed_true_2025_06_04.xml"
+    if not os.path.exists(xml):
+        pytest.skip("uniprot xml fixture unavailable")
+    doms = get_domains("sp|P10415|BCL2_HUMAN", 0, 250, xml_path=xml)
+    assert doms is not None and len(doms) > 0
+    assert all(d.start < 250 and d.end > 0 for d in doms)
+
+
+def test_native_cli_surface(tmp_path):
+    fasta = tmp_path / "two.fasta"
+    fasta.write_text(">p1\nPLANTANDANIMALGENQMES\n>p2\nLIVINGALIVE\n")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "kmerseek_tpu.native_cli",
+            "index",
+            "--input",
+            str(fasta),
+            "--ksize",
+            "5",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=tmp_path,
+        env=env,
+    )
+    assert result.returncode == 0, result.stderr
+    out = str(fasta) + ".protein.k5.scaled1.kmerseek.ksx"
+    assert os.path.isdir(out)
+    assert "2 signatures" in result.stderr
+    assert "kmers/s" in result.stderr
+
+    from kmerseek_tpu.core.index import ProteomeIndex
+
+    idx = ProteomeIndex.load(out)
+    assert sorted(idx.counts.tolist()) == [7, 17]
