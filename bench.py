@@ -81,12 +81,17 @@ def cpu_baseline(seqs):
 
 
 def pack_buckets(seqs):
-    """Length-bucketed padded batches (bound padding waste)."""
+    """Length-bucketed padded batches.
+
+    Few, coarse buckets: every dispatch over the axon tunnel costs
+    ~1 ms of host-side submission, so the sweep must be a handful of
+    fat programs rather than many thin ones; padding waste inside a
+    bucket only burns VPU lanes that would otherwise idle."""
     from kmerseek_tpu.core.fasta import pack_batch
 
     order = np.argsort([len(s) for s in seqs])
     buckets = []
-    edges = (256, 512, 1024, 2048, 4096, 8192, 16384, 1 << 30)
+    edges = (512, 4096, 1 << 30)
     groups = {}
     for i in order:
         ln = len(seqs[i])
@@ -132,8 +137,13 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
         )
         total_kmers += int(np.maximum(lens - (K - 1), 0).sum())
 
-    def sweep(args, dep):
-        total = dep
+    @jax.jit
+    def reduce_counts(counts, dep):
+        return counts.sum() + dep
+
+    def sweep_jit(args, dep):
+        # per-bucket dispatches (the remote compiler struggles with one
+        # giant fused program), chained through `dep`
         for (arr, lens), cap in zip(args, caps):
             out = compact_window_hashes(
                 arr,
@@ -144,10 +154,8 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
                 capacity=cap,
                 use_pallas=use_pallas,
             )
-            total = total + out[2].sum()
-        return total
-
-    sweep_jit = jax.jit(sweep)
+            dep = reduce_counts(out[2], dep)
+        return dep
 
     warm = int(sweep_jit(staged, jnp.int32(0)))  # compile + sync
 

@@ -44,6 +44,51 @@ from .fasta import iter_record_batches, pack_batch, read_fasta
 from .signature import Signature, signatures_from_sketch_batch, sourmash_md5
 
 INDEX_FORMAT_VERSION = 1
+
+
+class ProteomeIndexBuilder:
+    """Fluent builder (index.rs:2975-3061 parity)."""
+
+    def __init__(self) -> None:
+        self._ksize = 24
+        self._scaled = 5
+        self._moltype = "hp"
+        self._store_raw = False
+        self._batch_size = 1000
+        self._progress_interval = 0
+
+    def ksize(self, k: int) -> "ProteomeIndexBuilder":
+        self._ksize = k
+        return self
+
+    def scaled(self, s: int) -> "ProteomeIndexBuilder":
+        self._scaled = s
+        return self
+
+    def moltype(self, m: str) -> "ProteomeIndexBuilder":
+        self._moltype = m
+        return self
+
+    def store_raw_sequences(self, on: bool = True) -> "ProteomeIndexBuilder":
+        self._store_raw = on
+        return self
+
+    def batch_size(self, n: int) -> "ProteomeIndexBuilder":
+        self._batch_size = n
+        return self
+
+    def progress_interval(self, n: int) -> "ProteomeIndexBuilder":
+        self._progress_interval = n
+        return self
+
+    def build(self, fasta: str) -> "ProteomeIndex":
+        return ProteomeIndex.build(
+            fasta,
+            IndexConfig(self._ksize, self._scaled, self._moltype),
+            batch_size=self._batch_size,
+            store_raw_sequences=self._store_raw,
+            progress_interval=self._progress_interval,
+        )
 INDEX_SUFFIX = "kmerseek.ksx"  # replaces "...kmerseek.rocksdb" (index.rs:647-652)
 
 
@@ -253,12 +298,13 @@ class ProteomeIndex:
         hi = np.full((T, S), 0xFFFFFFFF, np.uint32)
         lo = np.full((T, S), 0xFFFFFFFF, np.uint32)
         ab = np.zeros((T, S), np.int32)
-        for i in range(T):
-            o0, o1 = self.offsets[i], self.offsets[i + 1]
-            h, l = u64.split_np(self.mins[o0:o1])
-            hi[i, : o1 - o0] = h
-            lo[i, : o1 - o0] = l
-            ab[i, : o1 - o0] = self.abundances[o0:o1]
+        # vectorized ragged→dense: flat destination index per source element
+        rows = np.repeat(np.arange(T), counts)
+        cols = np.arange(len(self.mins)) - np.repeat(self.offsets[:-1], counts)
+        h_all, l_all = u64.split_np(self.mins)
+        hi[rows, cols] = h_all
+        lo[rows, cols] = l_all
+        ab[rows, cols] = self.abundances
         return (
             jnp.asarray(hi),
             jnp.asarray(lo),
@@ -361,6 +407,17 @@ class ProteomeIndex:
         from .sigzip import read_sig_zip
 
         return cls.from_signatures(read_sig_zip(path))
+
+    @classmethod
+    def build_with_auto_filename(
+        cls, fasta: str, config: Optional["IndexConfig"] = None, **kwargs
+    ) -> Tuple["ProteomeIndex", str]:
+        """Build + save under the auto filename (index.rs:655-673)."""
+        config = config or IndexConfig()
+        idx = cls.build(fasta, config, **kwargs)
+        path = generate_index_path(fasta, config.moltype, config.ksize, config.scaled)
+        idx.save(path)
+        return idx, path
 
     def print_stats(self) -> str:
         """index.rs:628-639 equivalent."""

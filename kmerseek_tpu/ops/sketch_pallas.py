@@ -49,12 +49,15 @@ def _encode_in_kernel(e32: jnp.ndarray, lut) -> jnp.ndarray:
     lut_np = np.asarray(lut)
     if (lut_np == np.arange(256)).all():
         return e32
-    out = jnp.full(e32.shape, lut_np[0], jnp.uint32)
-    # only residue byte values can appear post-validation (uppercase
-    # letters + '*'), so the chain covers [42, 91)
-    for byte in range(42, 91):
+    # Post-validation inputs are uppercase residues + '*'; anything not
+    # explicitly mapped encodes to 'x' (sourmash's default), so the
+    # chain only needs the bytes whose LUT value differs from 'x' —
+    # 20 selects for hp/dayhoff instead of a 256-entry gather.
+    out = jnp.full(e32.shape, ord("x"), jnp.uint32)
+    for byte in range(ord("A"), ord("Z") + 1):
         val = int(lut_np[byte])
-        out = jnp.where(e32 == jnp.uint32(byte), jnp.uint32(val), out)
+        if val != ord("x"):
+            out = jnp.where(e32 == jnp.uint32(byte), jnp.uint32(val), out)
     return out
 
 
@@ -150,7 +153,8 @@ def window_hashes_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "scaled", "moltype", "capacity", "interpret")
+    jax.jit,
+    static_argnames=("k", "scaled", "moltype", "capacity", "interpret", "bitonic"),
 )
 def sketch_batch_pallas(
     seqs: jnp.ndarray,
@@ -161,18 +165,32 @@ def sketch_batch_pallas(
     moltype: str,
     capacity: int,
     interpret: bool = False,
+    bitonic: bool = False,
 ):
     """Full sketch pipeline with the Pallas hash kernel + XLA compaction.
 
     Drop-in replacement for ``ops.sketch.sketch_batch`` (same SketchBatch
-    result, bit-identical values)."""
-    from .sketch import SketchBatch, _compact_row
+    result, bit-identical values). With ``bitonic=True`` the per-row
+    sort runs as the in-VMEM bitonic kernel (``ops.sort_pallas``)
+    instead of XLA's sort; requires power-of-two ``capacity``."""
+    from .sketch import SketchBatch, _compact_row, _compact_valid_row, _dedup_sorted_row
 
     hashes, keep = window_hashes_pallas(
         seqs, lengths, k=k, scaled=scaled, moltype=moltype, interpret=interpret
     )
     W = seqs.shape[1] - k + 1
-    mins_hi, mins_lo, abund, counts = jax.vmap(
-        functools.partial(_compact_row, capacity=capacity)
-    )(hashes.hi[:, :W], hashes.lo[:, :W], keep[:, :W])
+    if bitonic:
+        from .sort_pallas import bitonic_sort_rows
+
+        c_hi, c_lo, n = jax.vmap(
+            functools.partial(_compact_valid_row, capacity=capacity)
+        )(hashes.hi[:, :W], hashes.lo[:, :W], keep[:, :W])
+        s_hi, s_lo = bitonic_sort_rows(c_hi, c_lo, interpret=interpret)
+        mins_hi, mins_lo, abund, counts = jax.vmap(
+            functools.partial(_dedup_sorted_row, capacity=capacity)
+        )(s_hi, s_lo, n)
+    else:
+        mins_hi, mins_lo, abund, counts = jax.vmap(
+            functools.partial(_compact_row, capacity=capacity)
+        )(hashes.hi[:, :W], hashes.lo[:, :W], keep[:, :W])
     return SketchBatch(mins_hi, mins_lo, abund, counts)
