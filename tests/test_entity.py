@@ -1,0 +1,110 @@
+"""Entity artifact caching and reuse semantics (entity.py parity),
+alphabet policies, stitching quirks, multihost sharding helpers."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kmerseek_tpu.core.entity import KmerseekIndex, KmerseekQuery, make_sigfile
+
+
+@pytest.fixture
+def local_fasta(tmp_path):
+    p = tmp_path / "tiny.fasta"
+    p.write_text(">p1\nPLANTANDANIMALGENQMES\n>p2\nLIVINGALIVE\n")
+    return str(p)
+
+
+def test_entity_products_and_reuse(local_fasta):
+    e = KmerseekIndex(local_fasta, moltype="protein", ksize=5, scaled=1)
+    sig = e.sig
+    assert sig == make_sigfile(local_fasta, "protein", 5, 1)
+    assert os.path.exists(sig)
+    ksx = e.ksx
+    assert os.path.isdir(ksx)
+
+    # second entity must REUSE (mtime unchanged)
+    t0 = os.path.getmtime(sig)
+    e2 = KmerseekIndex(local_fasta, moltype="protein", ksize=5, scaled=1)
+    assert e2.sig == sig
+    assert os.path.getmtime(sig) == t0
+
+    # force re-creates
+    e3 = KmerseekIndex(local_fasta, moltype="protein", ksize=5, scaled=1, force=True)
+    _ = e3.sig
+    # loaded-from-cache index must equal the fresh one
+    assert e2.index.is_equivalent_to(e3.index)
+
+
+def test_entity_kmers_pq(local_fasta):
+    q = KmerseekQuery(
+        local_fasta, moltype="hp", ksize=5, scaled=1, extract_kmers=True
+    )
+    pq_path = q.kmers_pq
+    assert pq_path.endswith(".kmers.pq")
+    df = q.kmers_dataframe
+    assert list(df.columns) == [
+        "sequence_file",
+        "sequence_name",
+        "kmer",
+        "hashval",
+        "encoded",
+        "start",
+    ]
+    # p1 has 17 windows, p2 has 7 (scaled=1 keeps all)
+    assert len(df) == 24
+    no_extract = KmerseekQuery(local_fasta, moltype="hp", ksize=5, scaled=1)
+    assert no_extract.kmers_pq is None
+
+
+def test_alphabet_random_policy_seeded():
+    from kmerseek_tpu.core.alphabet import validate_resolve_batch
+
+    out1 = validate_resolve_batch([b"BZJBZJBZJ"] * 4, policy="random", seed=7)
+    out2 = validate_resolve_batch([b"BZJBZJBZJ"] * 4, policy="random", seed=7)
+    assert out1 == out2  # deterministic under a seed
+    # every resolution is a legal candidate
+    for s in out1:
+        for i, ch in enumerate("BZJ" * 3):
+            assert chr(s[i]) in {"B": "DN", "Z": "EQ", "J": "IL"}[ch]
+
+
+def test_stitch_delta_zero_quirk():
+    """Δstart == 0 appends the whole k-mer (reference search.py:37-58)."""
+    from kmerseek_tpu.core.stitch import single_stitch_together_kmers
+
+    assert single_stitch_together_kmers(["ABCDE"], [0]) == "ABCDE"
+    assert single_stitch_together_kmers(["ABCDE", "BCDEF"], [0, 1]) == "ABCDEF"
+    # the quirk: same start twice → whole second k-mer appended
+    assert single_stitch_together_kmers(["ABCDE", "XYZPQ"], [3, 3]) == "ABCDEXYZPQ"
+    # gap >= k appends the whole k-mer too
+    assert single_stitch_together_kmers(["ABCDE", "FGHIJ"], [0, 5]) == "ABCDEFGHIJ"
+
+
+def test_multihost_sharding_helpers():
+    from kmerseek_tpu.parallel.multihost import (
+        hash_range_for_shard,
+        host_record_shard,
+    )
+
+    ranges = [host_record_shard(10, i, 3) for i in range(3)]
+    assert [len(r) for r in ranges] == [4, 3, 3]
+    assert sorted(x for r in ranges for x in r) == list(range(10))
+
+    lo0, hi0 = hash_range_for_shard(0, 4)
+    lo3, hi3 = hash_range_for_shard(3, 4)
+    assert lo0 == 0 and hi3 == 1 << 64
+    assert hi0 == (1 << 64) // 4
+
+
+def test_iter_host_shard_batches(local_fasta):
+    from kmerseek_tpu.parallel.multihost import iter_host_shard_batches
+
+    all_names = []
+    for pid in range(2):
+        for batch in iter_host_shard_batches(local_fasta, pid, 2):
+            all_names.extend(r.name for r in batch)
+    assert sorted(all_names) == ["p1", "p2"]
