@@ -91,7 +91,7 @@ def pack_buckets(seqs):
 
     order = np.argsort([len(s) for s in seqs])
     buckets = []
-    edges = (512, 4096, 1 << 30)
+    edges = (512, 1024, 2048, 4096, 1 << 30)
     groups = {}
     for i in order:
         ln = len(seqs[i])
@@ -119,7 +119,7 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
     import jax
     import jax.numpy as jnp
 
-    from kmerseek_tpu.ops.sketch import compact_window_hashes, sketch_capacity
+    from kmerseek_tpu.ops.sketch import sketch_capacity, sorted_window_hashes
 
     use_pallas = jax.default_backend() not in ("cpu",)
 
@@ -143,9 +143,11 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
 
     def sweep_jit(args, dep):
         # per-bucket dispatches (the remote compiler struggles with one
-        # giant fused program), chained through `dep`
+        # giant fused program), chained through `dep`; this is the full
+        # device sketch stage of the index build (hash + sentinel sort +
+        # distinct-mask), scatter-free — see ops.sketch.sorted_window_hashes
         for (arr, lens), cap in zip(args, caps):
-            out = compact_window_hashes(
+            out = sorted_window_hashes(
                 arr,
                 lens - (dep % 2).astype(lens.dtype),
                 k=K,
@@ -154,7 +156,7 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
                 capacity=cap,
                 use_pallas=use_pallas,
             )
-            dep = reduce_counts(out[2], dep)
+            dep = reduce_counts(out[3], dep)
         return dep
 
     warm = int(sweep_jit(staged, jnp.int32(0)))  # compile + sync

@@ -184,12 +184,19 @@ class ProteomeIndex:
         progress_interval: int = 0,
         ambiguity_policy: str = "first",
     ) -> "ProteomeIndex":
-        """Sketch every record of ``fasta`` on the accelerator."""
+        """Sketch every record of ``fasta`` on the accelerator.
+
+        Device stage: fused hash + sentinel-sort (scatter-free,
+        ``ops.sketch.sorted_window_hashes``); host stage: run-length
+        dedup into Signature records. The Pallas kernel is used
+        automatically on TPU backends."""
+        import jax
         import jax.numpy as jnp
-        from ..ops.sketch import sketch_batch
+        from ..ops.sketch import finalize_sorted_np, sorted_window_hashes
 
         config = config or IndexConfig()
         k, scaled, moltype = config.ksize, config.scaled, config.moltype
+        use_pallas = jax.default_backend() not in ("cpu",)
         signatures: List[Signature] = []
         sequences: List[bytes] = [] if store_raw_sequences else None
         n_done = 0
@@ -201,34 +208,32 @@ class ProteomeIndex:
             # pad so even the shortest row yields >= 1 window slot
             arr, lens = pack_batch(resolved, min_len=max(k + 1, 128))
             cap = sketch_capacity(arr.shape[1], k, scaled)
-            batch = sketch_batch(
-                jnp.asarray(arr),
-                jnp.asarray(lens),
-                k=k,
-                scaled=scaled,
-                moltype=moltype,
-                capacity=cap,
-            )
-            while int(np.asarray(batch.counts).max(initial=0)) > cap:
-                cap *= 2  # rare under-provision: retry with more slots
-                batch = sketch_batch(
+            while True:
+                out = sorted_window_hashes(
                     jnp.asarray(arr),
                     jnp.asarray(lens),
                     k=k,
                     scaled=scaled,
                     moltype=moltype,
                     capacity=cap,
+                    use_pallas=use_pallas,
                 )
-            signatures.extend(
-                signatures_from_sketch_batch(
-                    batch,
-                    names,
-                    ksize=k,
-                    scaled=scaled,
-                    moltype=moltype,
-                    filename=os.path.abspath(fasta),
+                if int(np.asarray(out[3]).max(initial=0)) <= cap:
+                    break
+                cap *= 2  # rare under-provision: retry with more slots
+            mins_list, ab_list = finalize_sorted_np(*out)
+            for i, name in enumerate(names):
+                signatures.append(
+                    Signature(
+                        name=name,
+                        mins=mins_list[i],
+                        abundances=ab_list[i],
+                        ksize=k,
+                        scaled=scaled,
+                        moltype=moltype,
+                        filename=os.path.abspath(fasta),
+                    )
                 )
-            )
             if store_raw_sequences:
                 sequences.extend(resolved)
             n_done += len(records)

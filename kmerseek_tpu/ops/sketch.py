@@ -163,6 +163,93 @@ def sketch_batch(
     return SketchBatch(mins_hi, mins_lo, abund, counts)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "scaled", "moltype", "capacity", "use_pallas")
+)
+def sorted_window_hashes(
+    seqs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    k: int,
+    scaled: int,
+    moltype: str,
+    capacity: int,
+    use_pallas: bool = False,
+):
+    """Scatter-free device sketch stage: hash → sentinel mask → 2-key sort.
+
+    XLA's TPU scatter runs at ~50M updates/s — an order of magnitude
+    under the hash kernel — so the fast path never scatters: dropped
+    windows get u64::MAX sentinel keys, one 2-operand sort per row puts
+    the kept hashes (sorted, duplicates adjacent) in the leading lanes,
+    and a ``first`` mask marks the first slot of each duplicate run.
+
+    Returns ``(s_hi, s_lo, first, n_kept)`` each (B, capacity)/(B,):
+      * slots j < n_kept hold the sorted kept hashes (with duplicates);
+      * ``first[j]`` marks distinct values (Σ first = sketch size);
+      * hosts finalize to unique mins + abundances by run length
+        (``finalize_sorted_np``); device consumers (search) iterate
+        only ``first`` slots.
+
+    ``capacity`` bounds the per-row kept count; overflow is detectable
+    as n_kept > capacity (counted pre-truncation).
+    """
+    if use_pallas:
+        from .sketch_pallas import window_hashes_pallas
+
+        hashes, keep = window_hashes_pallas(
+            seqs, lengths, k=k, scaled=scaled, moltype=moltype
+        )
+        W = seqs.shape[-1] - k + 1
+        hashes = U64(hashes.hi[:, :W], hashes.lo[:, :W])
+        keep = keep[:, :W]
+    else:
+        hashes, keep = window_hashes(seqs, lengths, k, scaled, moltype)
+
+    big = jnp.uint32(0xFFFFFFFF)
+    key_hi = jnp.where(keep, hashes.hi, big)
+    key_lo = jnp.where(keep, hashes.lo, big)
+    n_kept = keep.astype(jnp.int32).sum(axis=-1)
+    s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2, dimension=-1)
+    s_hi = s_hi[:, :capacity]
+    s_lo = s_lo[:, :capacity]
+    S = s_hi.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    valid = idx < n_kept[:, None]
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((s_hi.shape[0], 1), bool),
+            (s_hi[:, 1:] == s_hi[:, :-1]) & (s_lo[:, 1:] == s_lo[:, :-1]),
+        ],
+        axis=1,
+    )
+    first = valid & ~prev_same
+    return s_hi, s_lo, first, n_kept
+
+
+def finalize_sorted_np(s_hi, s_lo, first, n_kept):
+    """Host finalize of ``sorted_window_hashes`` → (mins, abund) lists.
+
+    Run-length dedup on already-sorted rows — O(kept) numpy per row."""
+    s_hi = np.asarray(s_hi)
+    s_lo = np.asarray(s_lo)
+    first = np.asarray(first)
+    n_kept = np.asarray(n_kept)
+    if n_kept.max(initial=0) > s_hi.shape[1]:
+        raise ValueError(
+            f"sketch capacity overflow: {n_kept.max()} > {s_hi.shape[1]}"
+        )
+    h64 = (s_hi.astype(np.uint64) << np.uint64(32)) | s_lo.astype(np.uint64)
+    mins_out, ab_out = [], []
+    for i in range(h64.shape[0]):
+        n = int(n_kept[i])
+        row = h64[i, :n]
+        starts = np.flatnonzero(first[i, :n])
+        mins_out.append(row[starts])
+        ab_out.append(np.diff(np.append(starts, n)).astype(np.int64))
+    return mins_out, ab_out
+
+
 @functools.partial(jax.jit, static_argnames=("k", "scaled", "moltype", "capacity", "use_pallas"))
 def compact_window_hashes(
     seqs: jnp.ndarray,
