@@ -128,63 +128,57 @@ def manysearch(
 
     q_sizes = query.counts
     t_sizes = target.counts
-    t_weight = np.array(
-        [
-            int(
-                target.abundances[target.offsets[i] : target.offsets[i + 1]].sum()
-            )
-            for i in range(len(target))
-        ]
-    )
-    q_md5 = [query.signature(i).md5sum for i in range(len(query))]
-    t_md5 = [target.signature(j).md5sum for j in range(len(target))]
+    t_weight = np.add.reduceat(
+        np.append(target.abundances, 0), target.offsets[:-1]
+    ) * (t_sizes > 0)
+    # md5s only for signatures that appear in a hit row
+    hit_q, hit_t = np.nonzero(n > 0)
+    q_md5 = {int(i): query.signature(int(i)).md5sum for i in set(hit_q.tolist())}
+    t_md5 = {int(j): target.signature(int(j)).md5sum for j in set(hit_t.tolist())}
 
     rows: List[Dict] = []
-    for qi in range(len(query)):
-        for tj in range(len(target)):
-            inter = int(n[qi, tj])
-            if inter <= 0:
-                continue
-            qs, ts = int(q_sizes[qi]), int(t_sizes[tj])
-            containment = inter / qs
-            if containment < threshold:
-                continue
-            c_tq = inter / ts
-            union = qs + ts - inter
-            jaccard = inter / union if union else 0.0
-            weighted = int(w[qi, tj])
-            avg = weighted / inter
-            med = int(med2[qi, tj]) / 2.0
-            var = int(wsq[qi, tj]) / inter - avg * avg
-            std = math.sqrt(max(var, 0.0))
-            ani_q = _ani(containment, k3)
-            ani_t = _ani(c_tq, k3)
-            rows.append(
-                {
-                    "query_name": query.names[qi],
-                    "query_md5": q_md5[qi],
-                    "match_name": target.names[tj],
-                    "containment": containment,
-                    "intersect_hashes": inter,
-                    "ksize": k3,
-                    "scaled": scaled,
-                    "moltype": moltype,
-                    "match_md5": t_md5[tj],
-                    "jaccard": jaccard,
-                    "max_containment": max(containment, c_tq),
-                    "average_abund": avg,
-                    "median_abund": med,
-                    "std_abund": std,
-                    "query_containment_ani": ani_q,
-                    "match_containment_ani": ani_t,
-                    "average_containment_ani": (ani_q + ani_t) / 2.0,
-                    "max_containment_ani": max(ani_q, ani_t),
-                    "n_weighted_found": weighted,
-                    "total_weighted_hashes": int(t_weight[tj]),
-                    "containment_target_in_query": c_tq,
-                    "f_weighted_target_in_query": weighted / int(t_weight[tj]),
-                }
-            )
+    for qi, tj in zip(hit_q.tolist(), hit_t.tolist()):
+        inter = int(n[qi, tj])
+        qs, ts = int(q_sizes[qi]), int(t_sizes[tj])
+        containment = inter / qs
+        if containment < threshold:
+            continue
+        c_tq = inter / ts
+        union = qs + ts - inter
+        jaccard = inter / union if union else 0.0
+        weighted = int(w[qi, tj])
+        avg = weighted / inter
+        med = int(med2[qi, tj]) / 2.0
+        var = int(wsq[qi, tj]) / inter - avg * avg
+        std = math.sqrt(max(var, 0.0))
+        ani_q = _ani(containment, k3)
+        ani_t = _ani(c_tq, k3)
+        rows.append(
+            {
+                "query_name": query.names[qi],
+                "query_md5": q_md5[qi],
+                "match_name": target.names[tj],
+                "containment": containment,
+                "intersect_hashes": inter,
+                "ksize": k3,
+                "scaled": scaled,
+                "moltype": moltype,
+                "match_md5": t_md5[tj],
+                "jaccard": jaccard,
+                "max_containment": max(containment, c_tq),
+                "average_abund": avg,
+                "median_abund": med,
+                "std_abund": std,
+                "query_containment_ani": ani_q,
+                "match_containment_ani": ani_t,
+                "average_containment_ani": (ani_q + ani_t) / 2.0,
+                "max_containment_ani": max(ani_q, ani_t),
+                "n_weighted_found": weighted,
+                "total_weighted_hashes": int(t_weight[tj]),
+                "containment_target_in_query": c_tq,
+                "f_weighted_target_in_query": weighted / int(t_weight[tj]),
+            }
+        )
     rows.sort(key=lambda r: (r["query_name"], r["match_name"]))
     return rows
 

@@ -92,18 +92,54 @@ def _pair_stats(q_hi, q_lo, q_count, t_hi, t_lo, t_ab, t_count):
     return n, weighted, weighted_sq, med2
 
 
-@functools.partial(jax.jit)
+@functools.partial(jax.jit, static_argnames=("target_chunk",))
 def pairwise_stats(
-    q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts
+    q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts, target_chunk: int = 0
 ) -> PairStats:
     """All-pairs stats: queries (Q, Sq) × targets (T, St) → (Q, T).
 
     Equivalent of branchwater manysearch's all-pairs loop
-    (search.py:125-141 → Rust FFI in the reference)."""
+    (search.py:125-141 → Rust FFI in the reference).
+
+    The naive double-vmap materializes (Q, T, Sq) temporaries — at
+    corpus scale that overflows HBM (observed: a 128×16k search crashed
+    the TPU worker) — so the target axis is processed in ``lax.map``
+    chunks bounding live memory to (Q, chunk, Sq). ``target_chunk=0``
+    picks a chunk targeting ~256 MB of temporaries."""
+    Q, Sq = q_hi.shape
+    T = t_hi.shape[0]
     f_t = jax.vmap(_pair_stats, in_axes=(None, None, None, 0, 0, 0, 0))
     f_qt = jax.vmap(f_t, in_axes=(0, 0, 0, None, None, None, None))
-    n, w, wsq, med2 = f_qt(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
-    return PairStats(n, w, wsq, med2)
+
+    if target_chunk <= 0:
+        budget = 256 * 1024 * 1024 // 4  # int32 elements
+        target_chunk = max(budget // max(Q * Sq * 8, 1), 8)
+    if T <= target_chunk:
+        n, w, wsq, med2 = f_qt(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+        return PairStats(n, w, wsq, med2)
+
+    pad = (-T) % target_chunk
+    big = jnp.uint32(0xFFFFFFFF)
+    th = jnp.pad(t_hi, ((0, pad), (0, 0)), constant_values=big)
+    tl = jnp.pad(t_lo, ((0, pad), (0, 0)), constant_values=big)
+    ta = jnp.pad(t_ab, ((0, pad), (0, 0)))
+    tc = jnp.pad(t_counts, (0, pad))
+    nc = (T + pad) // target_chunk
+    th = th.reshape(nc, target_chunk, -1)
+    tl = tl.reshape(nc, target_chunk, -1)
+    ta = ta.reshape(nc, target_chunk, -1)
+    tc = tc.reshape(nc, target_chunk)
+
+    def one_chunk(args):
+        ch, cl, ca, cc = args
+        return f_qt(q_hi, q_lo, q_counts, ch, cl, ca, cc)
+
+    n, w, wsq, med2 = jax.lax.map(one_chunk, (th, tl, ta, tc))
+    # (nc, Q, chunk) → (Q, T)
+    def fix(x):
+        return jnp.moveaxis(x, 0, 1).reshape(Q, T + pad)[:, :T]
+
+    return PairStats(fix(n), fix(w), fix(wsq), fix(med2))
 
 
 def intersect_positions(q_hi, q_lo, q_count, t_hi, t_lo, t_count):
