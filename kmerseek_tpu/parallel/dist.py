@@ -110,35 +110,35 @@ def make_dist_pipeline_step(
        t_hi/t_lo/t_ab (T, S) [T sharded], t_counts (T,) [T sharded])
     """
     from ..ops.intersect import pairwise_stats
-    from ..ops.sketch import _compact_valid_row, window_hashes
+    from ..ops.sketch import sorted_window_hashes
 
     def local_step(seqs, lengths, t_hi, t_lo, t_ab, t_counts):
-        # --- data-parallel sketch of the local sequence rows ---
-        if use_pallas:
-            from ..ops.sketch_pallas import window_hashes_pallas
-
-            hashes, keep = window_hashes_pallas(
-                seqs, lengths, k=k, scaled=scaled, moltype=moltype
-            )
-            W = seqs.shape[-1] - k + 1
-            hashes = type(hashes)(hashes.hi[:, :W], hashes.lo[:, :W])
-            keep = keep[:, :W]
-        else:
-            hashes, keep = window_hashes(seqs, lengths, k, scaled, moltype)
-        c_hi, c_lo, n = jax.vmap(
-            functools.partial(_compact_valid_row, capacity=capacity)
-        )(hashes.hi, hashes.lo, keep)
-        s_hi, s_lo = jax.lax.sort((c_hi, c_lo), num_keys=2)
+        # --- data-parallel sketch of the local sequence rows (the
+        # scatter-free sentinel-sort stage) ---
+        s_hi, s_lo, first, n_kept = sorted_window_hashes(
+            seqs,
+            lengths,
+            k=k,
+            scaled=scaled,
+            moltype=moltype,
+            capacity=capacity,
+            use_pallas=use_pallas,
+        )
+        # duplicate slots → u64::MAX sentinels so the intersection counts
+        # each distinct query hash exactly once
+        big = jnp.uint32(0xFFFFFFFF)
+        q_hi = jnp.where(first, s_hi, big)
+        q_lo = jnp.where(first, s_lo, big)
 
         # --- broadcast query sketches over ICI ---
-        g_hi = jax.lax.all_gather(s_hi, AXIS, tiled=True)
-        g_lo = jax.lax.all_gather(s_lo, AXIS, tiled=True)
-        g_n = jax.lax.all_gather(n, AXIS, tiled=True)
+        g_hi = jax.lax.all_gather(q_hi, AXIS, tiled=True)
+        g_lo = jax.lax.all_gather(q_lo, AXIS, tiled=True)
+        g_n = jax.lax.all_gather(jnp.minimum(n_kept, capacity), AXIS, tiled=True)
 
         # --- intersect all queries against the local target shard ---
         stats = pairwise_stats(g_hi, g_lo, g_n, t_hi, t_lo, t_ab, t_counts)
 
-        total = jax.lax.psum(n.sum(), AXIS)
+        total = jax.lax.psum(first.astype(jnp.int32).sum(), AXIS)
         return stats.intersect, stats.weighted, total
 
     fn = shard_map(

@@ -66,11 +66,14 @@ def test_dist_pipeline_step(indexes):
     mesh = make_mesh()
     n_dev = mesh.devices.size
 
-    # tiny synthetic batch of query sequences, one row per device slot
+    # tiny synthetic batch of query sequences, one row per device slot;
+    # row 0 is a repeated motif so its sketch has heavy duplicates —
+    # the intersection must count distinct hashes only
     rng = np.random.default_rng(0)
     letters = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8)
     B, L = n_dev * 2, 256
     seqs = letters[rng.integers(0, 20, size=(B, L))]
+    seqs[0] = np.tile(seqs[0, :32], L // 32)
     lens = np.full(B, L, np.int32)
 
     th, tl, ta, tc = target.dense_device_arrays()
