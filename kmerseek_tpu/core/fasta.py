@@ -159,6 +159,43 @@ def pack_batch(
     return arr, lens
 
 
+LENGTH_GRID = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+ROW_GRID = (8, 32, 128, 512, 1024)
+
+
+def _grid_up(value: int, grid) -> int:
+    for g in grid:
+        if value <= g:
+            return g
+    return grid[-1] * ((value + grid[-1] - 1) // grid[-1])
+
+
+def pack_fixed_grid(seqs: Sequence[bytes], min_len: int = 256):
+    """Pack records into padded batches with shapes from a fixed grid.
+
+    Free-form shapes would force an XLA recompile for every ingest
+    batch; snapping (rows, length) to a small grid bounds the number of
+    distinct compiled programs over an entire corpus. Rows are padded
+    with empty sequences (length 0 → zero windows). Returns a list of
+    ``(arr, lens, record_indices)``.
+    """
+    buckets: dict = {}
+    for i, s in enumerate(seqs):
+        L = _grid_up(max(len(s), min_len), LENGTH_GRID)
+        buckets.setdefault(L, []).append(i)
+    out = []
+    for L, idxs in sorted(buckets.items()):
+        rows = _grid_up(len(idxs), ROW_GRID)
+        arr = np.zeros((rows, L), dtype=np.uint8)
+        lens = np.zeros((rows,), dtype=np.int32)
+        for r, i in enumerate(idxs):
+            s = seqs[i]
+            arr[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            lens[r] = len(s)
+        out.append((arr, lens, idxs))
+    return out
+
+
 def iter_record_batches(
     path: str, batch_size: int = 1000
 ) -> Iterator[List[FastaRecord]]:

@@ -200,40 +200,46 @@ class ProteomeIndex:
         signatures: List[Signature] = []
         sequences: List[bytes] = [] if store_raw_sequences else None
         n_done = 0
+        from .fasta import pack_fixed_grid
+
         for records in iter_record_batches(fasta, batch_size):
             names = [r.name for r in records]
             resolved = validate_resolve_batch(
                 [r.seq for r in records], names, policy=ambiguity_policy
             )
-            # pad so even the shortest row yields >= 1 window slot
-            arr, lens = pack_batch(resolved, min_len=max(k + 1, 128))
-            cap = sketch_capacity(arr.shape[1], k, scaled)
-            while True:
-                out = sorted_window_hashes(
-                    jnp.asarray(arr),
-                    jnp.asarray(lens),
-                    k=k,
-                    scaled=scaled,
-                    moltype=moltype,
-                    capacity=cap,
-                    use_pallas=use_pallas,
-                )
-                if int(np.asarray(out[3]).max(initial=0)) <= cap:
-                    break
-                cap *= 2  # rare under-provision: retry with more slots
-            mins_list, ab_list = finalize_sorted_np(*out)
-            for i, name in enumerate(names):
-                signatures.append(
-                    Signature(
-                        name=name,
-                        mins=mins_list[i],
-                        abundances=ab_list[i],
+            # fixed-grid shapes: the same (rows, L) programs serve every
+            # batch of the corpus (no per-batch recompiles)
+            batch_sigs: List = [None] * len(records)
+            for arr, lens, idxs in pack_fixed_grid(
+                resolved, min_len=max(k + 1, 256)
+            ):
+                cap = sketch_capacity(arr.shape[1], k, scaled)
+                cap = max((cap + 127) // 128 * 128, 128)
+                while True:
+                    out = sorted_window_hashes(
+                        jnp.asarray(arr),
+                        jnp.asarray(lens),
+                        k=k,
+                        scaled=scaled,
+                        moltype=moltype,
+                        capacity=cap,
+                        use_pallas=use_pallas,
+                    )
+                    if int(np.asarray(out[3]).max(initial=0)) <= cap:
+                        break
+                    cap *= 2  # rare under-provision: retry with more slots
+                mins_list, ab_list = finalize_sorted_np(*out)
+                for r, i in enumerate(idxs):
+                    batch_sigs[i] = Signature(
+                        name=names[i],
+                        mins=mins_list[r],
+                        abundances=ab_list[r],
                         ksize=k,
                         scaled=scaled,
                         moltype=moltype,
                         filename=os.path.abspath(fasta),
                     )
-                )
+            signatures.extend(batch_sigs)
             if store_raw_sequences:
                 sequences.extend(resolved)
             n_done += len(records)
