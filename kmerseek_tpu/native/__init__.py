@@ -32,6 +32,8 @@ def _load():
     _LOAD_TRIED = True
     path = _lib_path()
     if not os.path.exists(path):
+        _try_build()
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
@@ -40,6 +42,21 @@ def _load():
     _configure(lib)
     _LIB = lib
     return _LIB
+
+
+def _try_build() -> None:
+    """Build libkseek.so in place on first use (g++ is in the image)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(__file__)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # callers degrade to the pure-Python paths
 
 
 def _configure(lib):
