@@ -177,12 +177,52 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
     return total_kmers / dt, total_kmers
 
 
+def _device_healthy(deadline_s: int = 120) -> bool:
+    """Probe the accelerator in a hard-killed subprocess.
+
+    The axon tunnel can wedge indefinitely (dispatches hang and the
+    client ignores SIGTERM), so the probe runs out-of-process under
+    ``timeout -k``; on failure the benchmark falls back to the CPU
+    backend rather than hanging the driver."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8,128))*2).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            ["timeout", "-k", "5", str(deadline_s), sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=deadline_s + 15,
+        )
+        return r.returncode == 0 and "2048" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    import importlib
+
+    backend = "accelerator"
+    if os.environ.get("JAX_PLATFORMS") not in ("cpu",) and not _device_healthy():
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        backend = "cpu-fallback (accelerator unreachable)"
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     seqs = load_corpus()
     cpu = cpu_baseline(seqs)
     buckets = pack_buckets(seqs)
     tpu_rate, total_kmers = tpu_throughput(buckets)
     baseline = cpu.get("cpu_1t") or None
+    import jax
+
     result = {
         "metric": "sketch_kmers_per_second",
         "value": tpu_rate,
@@ -194,6 +234,7 @@ def main():
             "cpu_1t_kmers_per_s": cpu.get("cpu_1t"),
             "cpu_mt_kmers_per_s": cpu.get("cpu_mt"),
             "n_sequences": len(seqs),
+            "backend": f"{jax.default_backend()} ({backend})",
         },
     }
     print(json.dumps(result))
