@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Search throughput benchmark: queries/s against a UniProt-scale index.
+
+Second headline metric of BASELINE.json ("kmers/s/chip (sketch build)
+and queries/s on UniProt-scale index"). bench.py remains the driver's
+single-line metric; this script reports the search side.
+
+Setup: a synthetic index of TARGETS protein sketches (sizes drawn to
+match hp/k24/scaled5 statistics, ~L/scaled hashes each) and QUERIES
+query sketches; the measured quantity is complete `manysearch` device
+scoring (intersection + abundance statistics) per query, using the
+chunked pairwise engine. Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TARGETS = 20000  # ~human proteome scale
+QUERIES = 256
+SKETCH = 128  # padded sketch slots (~640 aa / scaled 5)
+
+
+def _mk(rng, n, S, fill=100):
+    hi = np.full((n, S), 0xFFFFFFFF, np.uint32)
+    lo = np.full((n, S), 0xFFFFFFFF, np.uint32)
+    ab = np.zeros((n, S), np.int32)
+    counts = rng.integers(fill // 2, fill, size=n).astype(np.int32)
+    vals = np.sort(
+        rng.integers(0, 2**62, size=(n, S), dtype=np.uint64), axis=1
+    )
+    mask = np.arange(S)[None, :] < counts[:, None]
+    hi = np.where(mask, (vals >> 32).astype(np.uint32), hi)
+    lo = np.where(mask, (vals & 0xFFFFFFFF).astype(np.uint32), lo)
+    ab = np.where(mask, 1, 0).astype(np.int32)
+    return hi, lo, ab, counts
+
+
+def main():
+    from bench import _device_healthy
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        backend = "cpu (explicit)"
+    elif _device_healthy():
+        backend = "accelerator"
+    else:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        backend = "cpu-fallback"
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", None) or "axon")
+    except Exception:
+        pass
+
+    from kmerseek_tpu.ops.intersect import pairwise_stats
+
+    rng = np.random.default_rng(0)
+    t_hi, t_lo, t_ab, t_c = _mk(rng, TARGETS, SKETCH)
+    q_hi, q_lo, _q_ab, q_c = _mk(rng, QUERIES, SKETCH)
+    dev = jax.device_put
+    t_hi, t_lo, t_ab, t_c = dev(t_hi), dev(t_lo), dev(t_ab), dev(t_c)
+    q_hi, q_lo, q_c = dev(q_hi), dev(q_lo), dev(q_c)
+
+    red = jax.jit(lambda s, d: s.intersect.sum() + s.weighted.sum() + d)
+
+    def step(dep):
+        s = pairwise_stats(
+            q_hi, q_lo, q_c + 0 * dep, t_hi, t_lo, t_ab, t_c
+        )
+        return red(s, dep)
+
+    t0 = time.perf_counter()
+    warm = int(step(jnp.int32(0)))
+    compile_s = time.perf_counter() - t0
+
+    iters = 5
+    t0 = time.perf_counter()
+    dep = jnp.int32(0)
+    for _ in range(iters):
+        dep = step(dep)
+    final = int(dep)
+    dt = (time.perf_counter() - t0) / iters
+
+    result = {
+        "metric": "search_queries_per_second",
+        "value": QUERIES / dt,
+        "unit": "queries/s",
+        "detail": {
+            "targets": TARGETS,
+            "queries": QUERIES,
+            "sketch_slots": SKETCH,
+            "pairs_per_s": QUERIES * TARGETS / dt,
+            "compile_s": compile_s,
+            "backend": f"{jax.default_backend()} ({backend})",
+        },
+    }
+    print(json.dumps(result))
+    assert warm >= 0 and final >= 0
+
+
+if __name__ == "__main__":
+    main()
