@@ -94,12 +94,21 @@ def _device_pair_stats(query: ProteomeIndex, target: ProteomeIndex):
     q_hi, q_lo, _q_ab, q_counts = query.dense_device_arrays()
     t_hi, t_lo, t_ab, t_counts = target.dense_device_arrays()
     stats = pairwise_stats(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
-    return (
-        np.asarray(stats.intersect),
-        np.asarray(stats.weighted),
-        np.asarray(stats.weighted_sq),
-        np.asarray(stats.median2),
+    return np.asarray(stats.intersect), np.asarray(stats.weighted)
+
+
+def _intersect_abundances(query, target, qi: int, tj: int) -> np.ndarray:
+    """Target abundances over the (query, target) hash intersection —
+    host-side order statistics for one emitted row."""
+    qo0, qo1 = query.offsets[qi], query.offsets[qi + 1]
+    to0, to1 = target.offsets[tj], target.offsets[tj + 1]
+    _common, _qpos, tpos = np.intersect1d(
+        query.mins[qo0:qo1],
+        target.mins[to0:to1],
+        assume_unique=True,
+        return_indices=True,
     )
+    return target.abundances[to0:to1][tpos]
 
 
 def _ani(containment: float, k3: int) -> float:
@@ -121,7 +130,7 @@ def manysearch(
         target.config.moltype,
     ):
         raise ValueError("query/target sketch parameters differ")
-    n, w, wsq, med2 = _device_pair_stats(query, target)
+    n, w = _device_pair_stats(query, target)
     k3 = minhash_ksize(query.config.ksize)
     scaled = query.config.scaled
     moltype = query.config.moltype
@@ -146,11 +155,12 @@ def manysearch(
         c_tq = inter / ts
         union = qs + ts - inter
         jaccard = inter / union if union else 0.0
-        weighted = int(w[qi, tj])
+        ab_vec = _intersect_abundances(query, target, qi, tj)
+        weighted = int(ab_vec.sum())
+        assert weighted == int(w[qi, tj])  # device/host consistency
         avg = weighted / inter
-        med = int(med2[qi, tj]) / 2.0
-        var = int(wsq[qi, tj]) / inter - avg * avg
-        std = math.sqrt(max(var, 0.0))
+        med = float(np.median(ab_vec))
+        std = float(np.std(ab_vec))  # population std, matching golden 0.0
         ani_q = _ani(containment, k3)
         ani_t = _ani(c_tq, k3)
         rows.append(
@@ -192,7 +202,7 @@ def multisearch(
     """Pairwise scoring with database-frequency statistics
     (do_multisearch variant, search.py:144-158 — available but unused
     by the reference CLI)."""
-    n, _w, _wsq, _med2 = _device_pair_stats(query, target)
+    n, _w = _device_pair_stats(query, target)
     k3 = minhash_ksize(query.config.ksize)
 
     # database hash statistics over the target sketches

@@ -35,8 +35,6 @@ MAXU32 = jnp.uint32(0xFFFFFFFF)
 class PairStats(NamedTuple):
     intersect: jnp.ndarray  # (Q, T) int32 — |sketch ∩ sketch|
     weighted: jnp.ndarray  # (Q, T) int32 — Σ target abund over intersection
-    weighted_sq: jnp.ndarray  # (Q, T) int64-ish int32 — Σ abund²
-    median2: jnp.ndarray  # (Q, T) int32 — 2 × median of intersecting abunds
 
 
 def _lower_bound(t_hi, t_lo, t_count, q_hi, q_lo):
@@ -60,7 +58,13 @@ def _lower_bound(t_hi, t_lo, t_count, q_hi, q_lo):
 
 
 def _pair_stats(q_hi, q_lo, q_count, t_hi, t_lo, t_ab, t_count):
-    """Stats for one (query sketch, target sketch) pair."""
+    """Stats for one (query sketch, target sketch) pair.
+
+    Deliberately cheap: count + weighted sum only. Order statistics
+    (median/std of the intersecting abundances, needed per *emitted*
+    search row) are computed on host from the row's hash vectors — a
+    per-pair device sort made the all-pairs sweep sort-bound
+    (65k small sorts per chunk)."""
     Sq = q_hi.shape[0]
     q_idx = jax.lax.broadcasted_iota(jnp.int32, (Sq, 1), 0)[:, 0]
     q_valid = q_idx < q_count
@@ -74,22 +78,7 @@ def _pair_stats(q_hi, q_lo, q_count, t_hi, t_lo, t_ab, t_count):
         & (jnp.take(t_lo, safe) == q_lo)
     )
     ab = jnp.where(hit, jnp.take(t_ab, safe), 0)
-
-    n = hit.astype(jnp.int32).sum()
-    weighted = ab.sum()
-    weighted_sq = (ab * ab).sum()
-
-    # median of the n intersecting abundances: sort with +inf padding
-    big = jnp.int32(2**31 - 1)
-    ab_sorted = jax.lax.sort(jnp.where(hit, ab, big))
-    mid_hi = jnp.maximum(n // 2, 0)
-    mid_lo = jnp.maximum((n - 1) // 2, 0)
-    med2 = jnp.where(
-        n > 0,
-        jnp.take(ab_sorted, mid_lo) + jnp.take(ab_sorted, mid_hi),
-        0,
-    )
-    return n, weighted, weighted_sq, med2
+    return hit.astype(jnp.int32).sum(), ab.sum()
 
 
 @functools.partial(jax.jit, static_argnames=("target_chunk",))
@@ -115,8 +104,8 @@ def pairwise_stats(
         budget = 256 * 1024 * 1024 // 4  # int32 elements
         target_chunk = max(budget // max(Q * Sq * 8, 1), 8)
     if T <= target_chunk:
-        n, w, wsq, med2 = f_qt(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
-        return PairStats(n, w, wsq, med2)
+        n, w = f_qt(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+        return PairStats(n, w)
 
     pad = (-T) % target_chunk
     big = jnp.uint32(0xFFFFFFFF)
@@ -134,12 +123,12 @@ def pairwise_stats(
         ch, cl, ca, cc = args
         return f_qt(q_hi, q_lo, q_counts, ch, cl, ca, cc)
 
-    n, w, wsq, med2 = jax.lax.map(one_chunk, (th, tl, ta, tc))
+    n, w = jax.lax.map(one_chunk, (th, tl, ta, tc))
     # (nc, Q, chunk) → (Q, T)
     def fix(x):
         return jnp.moveaxis(x, 0, 1).reshape(Q, T + pad)[:, :T]
 
-    return PairStats(fix(n), fix(w), fix(wsq), fix(med2))
+    return PairStats(fix(n), fix(w))
 
 
 def intersect_positions(q_hi, q_lo, q_count, t_hi, t_lo, t_count):

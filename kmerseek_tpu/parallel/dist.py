@@ -160,9 +160,9 @@ def make_dist_pipeline_step(
 def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = None):
     """Sharded version of the manysearch device stage.
 
-    Returns host numpy (intersect, weighted, weighted_sq, median2)
-    matching ``core.search._device_pair_stats`` — target padding rows
-    are stripped before returning."""
+    Returns host numpy (intersect, weighted) matching
+    ``core.search._device_pair_stats`` — target padding rows are
+    stripped before returning."""
     from ..ops.intersect import pairwise_stats
 
     mesh = mesh or make_mesh()
@@ -173,7 +173,7 @@ def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = 
 
     def local(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts):
         s = pairwise_stats(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
-        return s.intersect, s.weighted, s.weighted_sq, s.median2
+        return s.intersect, s.weighted
 
     fn = jax.jit(
         shard_map(
@@ -188,13 +188,8 @@ def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = 
                 P(AXIS, None),
                 P(AXIS),
             ),
-            out_specs=(P(None, AXIS),) * 4,
+            out_specs=(P(None, AXIS),) * 2,
         )
     )
-    n, w, wsq, med2 = fn(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
-    return (
-        np.asarray(n)[:, :T],
-        np.asarray(w)[:, :T],
-        np.asarray(wsq)[:, :T],
-        np.asarray(med2)[:, :T],
-    )
+    n, w = fn(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
+    return np.asarray(n)[:, :T], np.asarray(w)[:, :T]

@@ -85,7 +85,7 @@ def test_chunked_matches_unchunked():
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_median_and_weighted():
+def test_weighted_and_host_order_stats():
     q = [[10, 20, 30, 40]]
     t = [[10, 20, 30, 99]]
     ab = [[5, 1, 2, 7]]
@@ -94,5 +94,29 @@ def test_median_and_weighted():
     s = pairwise_stats(qh, ql, qc, th, tl, ta, tc)
     assert int(s.intersect[0, 0]) == 3
     assert int(s.weighted[0, 0]) == 8  # 5+1+2
-    assert int(s.median2[0, 0]) == 4  # median of {5,1,2} = 2 → 2*2
-    assert int(s.weighted_sq[0, 0]) == 30  # 25+1+4
+
+    # order statistics now come from the host helper
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+    from kmerseek_tpu.core.search import _intersect_abundances
+    from kmerseek_tpu.core.signature import Signature
+
+    def mk_index(mins, abund):
+        return ProteomeIndex.from_signatures(
+            [
+                Signature(
+                    name="x",
+                    mins=np.asarray(mins, np.uint64),
+                    abundances=np.asarray(abund, np.int64),
+                    ksize=16,
+                    scaled=5,
+                    moltype="hp",
+                )
+            ],
+            IndexConfig(16, 5, "hp"),
+        )
+
+    qi = mk_index(q[0], [1, 1, 1, 1])
+    ti = mk_index(t[0], ab[0])
+    vec = _intersect_abundances(qi, ti, 0, 0)
+    assert sorted(vec.tolist()) == [1, 2, 5]
+    assert float(np.median(vec)) == 2.0
