@@ -383,7 +383,12 @@ class ProteomeIndex:
 
     @classmethod
     def load(cls, path: str) -> "ProteomeIndex":
-        with open(os.path.join(path, "metadata.json")) as f:
+        meta_path = os.path.join(path, "metadata.json")
+        if not os.path.exists(meta_path):
+            from ..utils.errors import NoSavedState
+
+            raise NoSavedState(f"no saved index at {path}")
+        with open(meta_path) as f:
             meta = json.load(f)
         if meta["format_version"] > INDEX_FORMAT_VERSION:
             raise ValueError(f"index format {meta['format_version']} too new")

@@ -126,3 +126,42 @@ def test_native_cli_surface(tmp_path):
 
     idx = ProteomeIndex.load(out)
     assert sorted(idx.counts.tolist()) == [7, 17]
+
+
+def test_error_types(tmp_path):
+    from kmerseek_tpu.utils.errors import (
+        ConfigurationError,
+        InvalidAminoAcid,
+        KmerseekError,
+        NoSavedState,
+        with_context,
+    )
+    from kmerseek_tpu.core.index import ProteomeIndex
+
+    with pytest.raises(NoSavedState):
+        ProteomeIndex.load(str(tmp_path / "nope"))
+    e = ConfigurationError("ksize", "out of range")
+    assert e.field == "ksize" and "ksize" in str(e)
+    wrapped = with_context(ValueError("x"), "loading index")
+    assert isinstance(wrapped, KmerseekError)
+    assert isinstance(wrapped.__cause__, ValueError)
+    assert issubclass(InvalidAminoAcid, ValueError)
+
+
+def test_store_raw_sequences_roundtrip(tmp_path):
+    """Raw-sequence storage parity (index.rs:2847-2934): stored form is
+    the uppercased, resolved, stop-truncated sequence; survives
+    save/load."""
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+
+    fasta = tmp_path / "raw.fasta"
+    fasta.write_text(">p1\nplantBzj*tail\n>p2\nLIVINGALIVE\n")
+    idx = ProteomeIndex.build(
+        str(fasta), IndexConfig(5, 1, "protein"), store_raw_sequences=True
+    )
+    assert idx.sequences[0] == b"PLANTDEI*"
+    assert idx.sequences[1] == b"LIVINGALIVE"
+    p = str(tmp_path / "idx.ksx")
+    idx.save(p)
+    idx2 = ProteomeIndex.load(p)
+    assert idx2.sequences == idx.sequences
