@@ -60,22 +60,34 @@ def main():
     except Exception:
         pass
 
-    from kmerseek_tpu.ops.intersect import pairwise_stats
+    from kmerseek_tpu.ops.inverted import build_inverted_np, inverted_pair_stats
 
     rng = np.random.default_rng(0)
     t_hi, t_lo, t_ab, t_c = _mk(rng, TARGETS, SKETCH)
     q_hi, q_lo, _q_ab, q_c = _mk(rng, QUERIES, SKETCH)
-    dev = jax.device_put
-    t_hi, t_lo, t_ab, t_c = dev(t_hi), dev(t_lo), dev(t_ab), dev(t_c)
-    q_hi, q_lo, q_c = dev(q_hi), dev(q_lo), dev(q_c)
 
-    red = jax.jit(lambda s, d: s.intersect.sum() + s.weighted.sum() + d)
+    # flatten targets into the inverted posting arrays (host, once)
+    mask = np.arange(SKETCH)[None, :] < t_c[:, None]
+    mins64 = (t_hi.astype(np.uint64) << np.uint64(32)) | t_lo.astype(np.uint64)
+    mins = mins64[mask]
+    offsets = np.concatenate([[0], np.cumsum(t_c)]).astype(np.int64)
+    inv = build_inverted_np(mins, np.ones(len(mins), np.int64), offsets)
+
+    dev = jax.device_put
+    g_hi, g_lo = dev(inv.g_hi), dev(inv.g_lo)
+    tid, ab = dev(inv.tid), dev(inv.ab)
+    q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
+    q_valid = dev(np.arange(SKETCH)[None, :] < q_c[:, None])
+
+    red = jax.jit(lambda c, w, d: c.sum() + w.sum() + d)
 
     def step(dep):
-        s = pairwise_stats(
-            q_hi, q_lo, q_c + 0 * dep, t_hi, t_lo, t_ab, t_c
+        c, w = inverted_pair_stats(
+            g_hi, g_lo, tid, ab, q_hi_d, q_lo_d,
+            q_valid & (dep >= 0),
+            n_targets=inv.n_targets, max_run=inv.max_run,
         )
-        return red(s, dep)
+        return red(c, w, dep)
 
     t0 = time.perf_counter()
     warm = int(step(jnp.int32(0)))

@@ -91,10 +91,20 @@ MULTISEARCH_COLUMNS = [
 
 
 def _device_pair_stats(query: ProteomeIndex, target: ProteomeIndex):
+    """(Q, T) intersect counts + target-weighted sums on device.
+
+    Uses the inverted-index engine (``ops.inverted``) — O(Q·S·log N)
+    gathers, independent of T; the per-pair binary-search engine
+    (``ops.intersect.pairwise_stats``) is gather-bound on TPU."""
+    import jax
+
     q_hi, q_lo, _q_ab, q_counts = query.dense_device_arrays()
-    t_hi, t_lo, t_ab, t_counts = target.dense_device_arrays()
-    stats = pairwise_stats(q_hi, q_lo, q_counts, t_hi, t_lo, t_ab, t_counts)
-    return np.asarray(stats.intersect), np.asarray(stats.weighted)
+    q_idx = np.arange(q_hi.shape[1], dtype=np.int32)[None, :]
+    q_valid = jax.numpy.asarray(q_idx < query.counts[:, None])
+    from ..ops.inverted import inverted_search
+
+    counts, weights = inverted_search(target, q_hi, q_lo, q_valid)
+    return np.asarray(counts), np.asarray(weights)
 
 
 def _intersect_abundances(query, target, qi: int, tj: int) -> np.ndarray:

@@ -1,0 +1,145 @@
+"""Inverted-index search: corpus-level hash lookup on device.
+
+The per-pair binary-search engine (``ops.intersect``) performs
+O(Q·T·Sq·log St) data-dependent gathers; on TPU, gathers run ~20M/s, so
+an all-pairs sweep over a UniProt-scale index is gather-bound a
+thousand times over (measured: 23k pairs/s — slower than the CPU).
+This module is the TPU-native reformulation as an inverted index,
+branchwater's ``do_index`` RocksDB revindex rethought for HBM
+(SURVEY.md §2.5 "hash → signature ids"):
+
+* **Build (host, once per index)**: concatenate every target's sorted
+  mins, argsort by hash → a single globally sorted array ``g`` with
+  companion target-id and abundance arrays. Equal hashes (one hash in
+  several targets) form short runs; the maximum run length is recorded.
+* **Query (device)**: each query hash binary-searches ``g`` once
+  (log2 N ≈ 21 gather steps over the whole (Q, S) block), then a
+  ``fori_loop`` over the run expansion scatter-adds hits into the dense
+  (Q, T) count/weight matrices. Total gathers: (logN + 3·max_run)·Q·S —
+  independent of T.
+
+Exactness: every (query-hash, target) co-occurrence is visited exactly
+once (runs are bounded by the build-time ``max_run``), so the counts
+equal ``pairwise_stats`` bit-for-bit (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InvertedIndex(NamedTuple):
+    """Host-side flattened posting arrays (upload once per index)."""
+
+    g_hi: np.ndarray  # (N,) uint32 — hash high words, globally sorted
+    g_lo: np.ndarray  # (N,) uint32
+    tid: np.ndarray  # (N,) int32 — owning target of each posting
+    ab: np.ndarray  # (N,) int32 — abundance of the hash in that target
+    n_targets: int
+    max_run: int  # longest run of equal hashes (max document frequency)
+
+
+def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndarray) -> InvertedIndex:
+    """Build from a ProteomeIndex's CSR arrays (host, numpy)."""
+    T = len(offsets) - 1
+    counts = np.diff(offsets)
+    tid = np.repeat(np.arange(T, dtype=np.int32), counts)
+    order = np.argsort(mins, kind="stable")
+    g = mins[order]
+    tid = tid[order]
+    ab = abundances[order].astype(np.int32)
+    if len(g):
+        boundaries = np.flatnonzero(np.diff(g) != 0)
+        run_starts = np.concatenate([[0], boundaries + 1])
+        run_ends = np.concatenate([boundaries + 1, [len(g)]])
+        max_run = int((run_ends - run_starts).max())
+    else:
+        max_run = 1
+    return InvertedIndex(
+        (g >> np.uint64(32)).astype(np.uint32),
+        (g & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        tid,
+        ab,
+        T,
+        max_run,
+    )
+
+
+def _global_lower_bound(g_hi, g_lo, q_hi, q_lo):
+    """First posting index with g >= q, vectorized over the (Q, S) block."""
+    N = g_hi.shape[0]
+    steps = max(int(N).bit_length(), 1)
+    lo = jnp.zeros(q_hi.shape, jnp.int32)
+    hi = jnp.full(q_hi.shape, N, jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mh = jnp.take(g_hi, mid, mode="clip")
+        ml = jnp.take(g_lo, mid, mode="clip")
+        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+@functools.partial(jax.jit, static_argnames=("n_targets", "max_run"))
+def inverted_pair_stats(
+    g_hi,
+    g_lo,
+    tid,
+    ab,
+    q_hi,
+    q_lo,
+    q_valid,
+    *,
+    n_targets: int,
+    max_run: int,
+):
+    """(Q, T) intersect counts + weighted sums via the inverted index.
+
+    ``q_valid`` masks real, distinct query slots (duplicates and padding
+    off — see ``ops.sketch.sorted_window_hashes``'s ``first`` mask).
+    """
+    Q, S = q_hi.shape
+    N = g_hi.shape[0]
+    pos = _global_lower_bound(g_hi, g_lo, q_hi, q_lo)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0)
+    drop = jnp.int32(n_targets)
+
+    def body(r, carry):
+        counts, weights = carry
+        idx = jnp.minimum(pos + r, N - 1)
+        mh = jnp.take(g_hi, idx)
+        ml = jnp.take(g_lo, idx)
+        match = q_valid & (mh == q_hi) & (ml == q_lo) & (pos + r < N)
+        t = jnp.where(match, jnp.take(tid, idx), drop)
+        counts = counts.at[qi, t].add(match.astype(jnp.int32), mode="drop")
+        weights = weights.at[qi, t].add(
+            jnp.where(match, jnp.take(ab, idx), 0), mode="drop"
+        )
+        return counts, weights
+
+    counts = jnp.zeros((Q, n_targets), jnp.int32)
+    weights = jnp.zeros((Q, n_targets), jnp.int32)
+    counts, weights = jax.lax.fori_loop(0, max_run, body, (counts, weights))
+    return counts, weights
+
+
+def inverted_search(index, q_hi, q_lo, q_valid):
+    """Convenience wrapper: ProteomeIndex + device query block → stats."""
+    inv = build_inverted_np(index.mins, index.abundances, index.offsets)
+    return inverted_pair_stats(
+        jnp.asarray(inv.g_hi),
+        jnp.asarray(inv.g_lo),
+        jnp.asarray(inv.tid),
+        jnp.asarray(inv.ab),
+        q_hi,
+        q_lo,
+        q_valid,
+        n_targets=inv.n_targets,
+        max_run=inv.max_run,
+    )
