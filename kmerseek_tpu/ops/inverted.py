@@ -125,6 +125,10 @@ def inverted_pair_stats(
 
     counts = jnp.zeros((Q, n_targets), jnp.int32)
     weights = jnp.zeros((Q, n_targets), jnp.int32)
+    # under shard_map the loop carry must match the body's "varying over
+    # mesh axis" type — tie the init to the sharded posting data
+    counts = counts + (g_hi[0] * jnp.uint32(0)).astype(jnp.int32)
+    weights = weights + (g_hi[0] * jnp.uint32(0)).astype(jnp.int32)
     counts, weights = jax.lax.fori_loop(0, max_run, body, (counts, weights))
     return counts, weights
 

@@ -157,6 +157,64 @@ def make_dist_pipeline_step(
     return jax.jit(fn)
 
 
+def sharded_inverted_search(mesh: Mesh, inv, q_hi, q_lo, q_valid):
+    """Hash-range-sharded inverted search — the BASELINE.json north star.
+
+    The globally sorted posting array is split into equal contiguous
+    slices (= hash ranges; murmur uniformity balances them for free),
+    one per chip. Queries are replicated (broadcast); every chip runs
+    the inverted lookup against its slice and the per-shard (Q, T)
+    count/weight matrices merge with ``jax.lax.psum`` — a target's
+    postings may span shards, but each posting lives on exactly one, so
+    the sum is exact (runs straddling a shard boundary are found by
+    both shards' local lower bounds).
+    """
+    from ..ops.inverted import inverted_pair_stats
+
+    n = mesh.devices.size
+    pad = (-len(inv.g_hi)) % n
+    g_hi = np.pad(inv.g_hi, (0, pad), constant_values=0xFFFFFFFF)
+    g_lo = np.pad(inv.g_lo, (0, pad), constant_values=0xFFFFFFFF)
+    tid = np.pad(inv.tid, (0, pad), constant_values=inv.n_targets)
+    ab = np.pad(inv.ab, (0, pad))
+    sh = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P(None, None))
+    g_hi = jax.device_put(g_hi, sh)
+    g_lo = jax.device_put(g_lo, sh)
+    tid = jax.device_put(tid, sh)
+    ab = jax.device_put(ab, sh)
+    q_hi = jax.device_put(np.asarray(q_hi), rep)
+    q_lo = jax.device_put(np.asarray(q_lo), rep)
+    q_valid = jax.device_put(np.asarray(q_valid), rep)
+
+    def local(g_hi, g_lo, tid, ab, q_hi, q_lo, q_valid):
+        counts, weights = inverted_pair_stats(
+            g_hi,
+            g_lo,
+            tid,
+            ab,
+            q_hi,
+            q_lo,
+            q_valid,
+            n_targets=inv.n_targets,
+            max_run=inv.max_run,
+        )
+        return (
+            jax.lax.psum(counts, AXIS),
+            jax.lax.psum(weights, AXIS),
+        )
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(None, None), P(None, None), P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+        )
+    )
+    return fn(g_hi, g_lo, tid, ab, q_hi, q_lo, q_valid)
+
+
 def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = None):
     """Sharded version of the manysearch device stage.
 

@@ -104,3 +104,34 @@ def test_dist_pipeline_step(indexes):
     T = len(target)
     assert np.array_equal(np.asarray(ref.intersect), np.asarray(inter)[:, :T])
     assert np.array_equal(np.asarray(ref.weighted), np.asarray(weighted)[:, :T])
+
+
+def test_sharded_inverted_search_matches(indexes):
+    """Hash-range-sharded inverted search == single-device engine."""
+    import jax.numpy as jnp
+    from kmerseek_tpu.ops.inverted import build_inverted_np, inverted_pair_stats
+    from kmerseek_tpu.parallel.dist import sharded_inverted_search
+
+    query, target = indexes
+    inv = build_inverted_np(target.mins, target.abundances, target.offsets)
+    q_hi, q_lo, _qa, _qc = query.dense_device_arrays()
+    q_valid = jnp.asarray(
+        np.arange(q_hi.shape[1])[None, :] < query.counts[:, None]
+    )
+    ref_c, ref_w = inverted_pair_stats(
+        jnp.asarray(inv.g_hi),
+        jnp.asarray(inv.g_lo),
+        jnp.asarray(inv.tid),
+        jnp.asarray(inv.ab),
+        q_hi,
+        q_lo,
+        q_valid,
+        n_targets=inv.n_targets,
+        max_run=inv.max_run,
+    )
+    mesh = make_mesh()
+    got_c, got_w = sharded_inverted_search(mesh, inv, q_hi, q_lo, q_valid)
+    assert np.array_equal(np.asarray(got_c), np.asarray(ref_c))
+    assert np.array_equal(np.asarray(got_w), np.asarray(ref_w))
+    # and the reference values are the golden manysearch counts
+    assert int(np.asarray(got_c).sum()) == 9  # 2+1+1+2+3 golden intersections
