@@ -203,8 +203,6 @@ def _device_healthy(deadline_s: int = 120) -> bool:
 
 
 def main():
-    import importlib
-
     backend = "accelerator"
     if os.environ.get("JAX_PLATFORMS") not in ("cpu",) and not _device_healthy():
         os.environ["JAX_PLATFORMS"] = "cpu"

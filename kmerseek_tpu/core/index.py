@@ -32,18 +32,25 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..ops import u64
-from ..ops.encoding import encode_bytes_np, max_hash_for_scaled
 from ..ops.sketch import merge_sketches_np, sketch_capacity
 from .alphabet import validate_resolve_batch
-from .fasta import iter_record_batches, pack_batch, read_fasta
-from .signature import Signature, signatures_from_sketch_batch, sourmash_md5
+from .fasta import iter_record_batches
+from .signature import Signature
 
 INDEX_FORMAT_VERSION = 1
+
+
+INDEX_SUFFIX = "kmerseek.ksx"  # replaces "...kmerseek.rocksdb" (index.rs:647-652)
+
+
+def generate_index_path(fasta: str, moltype: str, ksize: int, scaled: int) -> str:
+    """Auto filename, index.rs:647-652 convention with a ksx suffix."""
+    return f"{fasta}.{moltype}.k{ksize}.scaled{scaled}.{INDEX_SUFFIX}"
 
 
 class ProteomeIndexBuilder:
@@ -89,12 +96,6 @@ class ProteomeIndexBuilder:
             store_raw_sequences=self._store_raw,
             progress_interval=self._progress_interval,
         )
-INDEX_SUFFIX = "kmerseek.ksx"  # replaces "...kmerseek.rocksdb" (index.rs:647-652)
-
-
-def generate_index_path(fasta: str, moltype: str, ksize: int, scaled: int) -> str:
-    """Auto filename, index.rs:647-652 convention with a ksx suffix."""
-    return f"{fasta}.{moltype}.k{ksize}.scaled{scaled}.{INDEX_SUFFIX}"
 
 
 @dataclass

@@ -23,7 +23,6 @@ multi-host slice (``jax.distributed.initialize`` + the same mesh).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
