@@ -136,6 +136,10 @@ def inverted_pair_stats(
 def inverted_search(index, q_hi, q_lo, q_valid):
     """Convenience wrapper: ProteomeIndex + device query block → stats."""
     inv = build_inverted_np(index.mins, index.abundances, index.offsets)
+    if len(inv.g_hi) == 0:  # all-empty target sketches: no matches possible
+        Q = np.asarray(q_hi).shape[0]
+        z = np.zeros((Q, inv.n_targets), np.int32)
+        return jnp.asarray(z), jnp.asarray(z)
     return inverted_pair_stats(
         jnp.asarray(inv.g_hi),
         jnp.asarray(inv.g_lo),

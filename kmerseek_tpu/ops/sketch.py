@@ -211,6 +211,11 @@ def sorted_window_hashes(
     key_lo = jnp.where(keep, hashes.lo, big)
     n_kept = keep.astype(jnp.int32).sum(axis=-1)
     s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2, dimension=-1)
+    W = s_hi.shape[-1]
+    if W < capacity:  # short-sequence bucket: pad out to the full slot count
+        padw = ((0, 0), (0, capacity - W))
+        s_hi = jnp.pad(s_hi, padw, constant_values=big)
+        s_lo = jnp.pad(s_lo, padw, constant_values=big)
     s_hi = s_hi[:, :capacity]
     s_lo = s_lo[:, :capacity]
     S = s_hi.shape[-1]
