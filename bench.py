@@ -138,8 +138,17 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
         total_kmers += int(np.maximum(lens - (K - 1), 0).sum())
 
     @jax.jit
-    def reduce_counts(counts, dep):
-        return counts.sum() + dep
+    def reduce_counts(out, dep):
+        # consume every output (sorted hashes, distinct mask, counts) so
+        # XLA cannot dead-code-eliminate the sort stage out of the
+        # measurement
+        s_hi, s_lo, first, n_kept = out
+        return (
+            n_kept.sum()
+            + first.astype(jnp.int32).sum()
+            + (s_lo & jnp.uint32(1)).astype(jnp.int32).sum()
+            + dep
+        )
 
     def sweep_jit(args, dep):
         # per-bucket dispatches (the remote compiler struggles with one
@@ -156,7 +165,7 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
                 capacity=cap,
                 use_pallas=use_pallas,
             )
-            dep = reduce_counts(out[3], dep)
+            dep = reduce_counts(out, dep)
         return dep
 
     warm = int(sweep_jit(staged, jnp.int32(0)))  # compile + sync

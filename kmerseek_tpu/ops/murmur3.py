@@ -118,6 +118,84 @@ def murmur64_windows_from_views(byte_views: List[jnp.ndarray], k: int, seed: int
     return h1
 
 
+def murmur64_windows_from_u32views(
+    u32_views: Sequence[jnp.ndarray], k: int, seed: int = MURMUR_SEED
+) -> U64:
+    """Hash k-byte windows given packed little-endian uint32 word views.
+
+    ``u32_views[m]`` holds bytes [4m, 4m+4) of every window as one LE
+    uint32 (the final view may carry garbage in bytes past k — it is
+    masked here). Packing words once and shifting them is ~50 ops/window
+    cheaper than assembling 3 u64 words from 24 single-byte views.
+    """
+    n_words = (k + 3) // 4
+    assert len(u32_views) == n_words
+    rem = k % 4
+    views = list(u32_views)
+    if rem:
+        views[-1] = views[-1] & jnp.uint32((1 << (8 * rem)) - 1)
+
+    def word(widx: int) -> U64:
+        """u64 word at byte offset 8*widx (zero-extended past k)."""
+        lo = views[2 * widx] if 2 * widx < n_words else None
+        hi = views[2 * widx + 1] if 2 * widx + 1 < n_words else None
+        assert lo is not None
+        if hi is None:
+            hi = jnp.zeros_like(lo)
+        return U64(hi, lo)
+
+    shape = views[0].shape
+    c1 = u64_const(_C1)
+    c2 = u64_const(_C2)
+    h1 = U64(jnp.zeros(shape, jnp.uint32), jnp.full(shape, seed, jnp.uint32))
+    h2 = U64(jnp.zeros(shape, jnp.uint32), jnp.full(shape, seed, jnp.uint32))
+
+    nblocks = k // 16
+    for b in range(nblocks):
+        k1 = word(2 * b)
+        k2 = word(2 * b + 1)
+        k1 = mul64(k1, c1)
+        k1 = rotl64(k1, 31)
+        k1 = mul64(k1, c2)
+        h1 = xor64(h1, k1)
+        h1 = rotl64(h1, 27)
+        h1 = add64(h1, h2)
+        h1 = add64(mul64(h1, u64_const(5)), u64_const(0x52DCE729))
+        k2 = mul64(k2, c2)
+        k2 = rotl64(k2, 33)
+        k2 = mul64(k2, c1)
+        h2 = xor64(h2, k2)
+        h2 = rotl64(h2, 31)
+        h2 = add64(h2, h1)
+        h2 = add64(mul64(h2, u64_const(5)), u64_const(0x38495AB5))
+
+    tail_len = k % 16
+    if tail_len > 8:
+        k2 = word(2 * nblocks + 1)
+        k2 = mul64(k2, c2)
+        k2 = rotl64(k2, 33)
+        k2 = mul64(k2, c1)
+        h2 = xor64(h2, k2)
+    if tail_len > 0:
+        # word() zero-extends past k (absent views are zero, the last
+        # real view is byte-masked above), matching the scalar tail
+        k1 = word(2 * nblocks)
+        k1 = mul64(k1, c1)
+        k1 = rotl64(k1, 31)
+        k1 = mul64(k1, c2)
+        h1 = xor64(h1, k1)
+
+    length = u64_const(k)
+    h1 = xor64(h1, length)
+    h2 = xor64(h2, length)
+    h1 = add64(h1, h2)
+    h2 = add64(h2, h1)
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = add64(h1, h2)
+    return h1
+
+
 def murmur64_kmer_windows(encoded: jnp.ndarray, k: int, seed: int = MURMUR_SEED) -> U64:
     """Hash every length-k window of each row of a byte batch.
 
@@ -133,8 +211,19 @@ def murmur64_kmer_windows(encoded: jnp.ndarray, k: int, seed: int = MURMUR_SEED)
     W = L - k + 1
     assert W >= 1, f"padded length {L} shorter than k={k}"
     e32 = encoded.astype(jnp.uint32)
-    views = [e32[..., j : j + W] for j in range(k)]
-    return murmur64_windows_from_views(views, k, seed)
+    # packed LE u32 per position (zero-padded past the row end), shifted
+    # views per 4-byte word — ~50 fewer ops/window than byte assembly
+    pad = [(0, 0)] * (e32.ndim - 1) + [(0, 3)]
+    ep = jnp.pad(e32, pad)
+    p4 = (
+        ep[..., :L]
+        | (ep[..., 1 : L + 1] << 8)
+        | (ep[..., 2 : L + 2] << 16)
+        | (ep[..., 3 : L + 3] << 24)
+    )
+    n_words = (k + 3) // 4
+    u32_views = [p4[..., 4 * m : 4 * m + W] for m in range(n_words)]
+    return murmur64_windows_from_u32views(u32_views, k, seed)
 
 
 # ---------------------------------------------------------------------------

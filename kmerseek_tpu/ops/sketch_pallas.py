@@ -62,12 +62,22 @@ def _encode_in_kernel(e32: jnp.ndarray, lut) -> jnp.ndarray:
 
 
 def _sketch_kernel(seq_ref, len_ref, hi_ref, lo_ref, keep_ref, *, k, lut, mh_hi, mh_lo, seed):
+    from .murmur3 import murmur64_windows_from_u32views
+
     e32 = seq_ref[:].astype(jnp.uint32)
     enc = _encode_in_kernel(e32, lut)
     L_dim = enc.shape[1]
+
     # left-rotate by j == right-rotate by L-j (pltpu.roll needs shift >= 0)
-    views = [pltpu.roll(enc, L_dim - j, 1) if j else enc for j in range(k)]
-    h = murmur64_windows_from_views(views, k, seed)
+    def rot(x, j):
+        return pltpu.roll(x, (L_dim - j) % L_dim, 1) if j % L_dim else x
+
+    # packed LE u32 per position (wrap garbage masked by the keep test /
+    # the partial-word byte mask), then one roll per 4-byte word
+    p4 = enc | (rot(enc, 1) << 8) | (rot(enc, 2) << 16) | (rot(enc, 3) << 24)
+    n_words = (k + 3) // 4
+    u32_views = [rot(p4, 4 * m) for m in range(n_words)]
+    h = murmur64_windows_from_u32views(u32_views, k, seed)
 
     TB, L = e32.shape
     win_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
