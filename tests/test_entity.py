@@ -10,6 +10,8 @@ import pytest
 
 from kmerseek_tpu.core.entity import KmerseekIndex, KmerseekQuery, make_sigfile
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture
 def local_fasta(tmp_path):
@@ -108,3 +110,46 @@ def test_iter_host_shard_batches(local_fasta):
         for batch in iter_host_shard_batches(local_fasta, pid, 2):
             all_names.extend(r.name for r in batch)
     assert sorted(all_names) == ["p1", "p2"]
+
+
+def test_fasta_compression_variants(tmp_path):
+    """bz2 / xz / plain round-trip through the auto-detecting reader."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    from kmerseek_tpu.core.fasta import read_fasta
+
+    content = b">s1\nPLANTANDANIMALGENQMES\n>s2\nLIVING\nALIVE\n"
+    for name, data in [
+        ("plain.fasta", content),
+        ("c.fasta.bz2", _bz2.compress(content)),
+        ("c.fasta.xz", _lzma.compress(content)),
+    ]:
+        p = tmp_path / name
+        p.write_bytes(data)
+        recs = read_fasta(str(p))
+        assert [r.name for r in recs] == ["s1", "s2"]
+        assert recs[1].seq == b"LIVINGALIVE"  # multi-line concatenation
+
+
+def test_fasta_stdin(tmp_path):
+    """'-' reads stdin (io.rs:74-76 parity) — via subprocess."""
+    import subprocess, sys, os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO_ROOT
+    code = (
+        "from kmerseek_tpu.core.fasta import read_fasta;"
+        "recs = read_fasta('-');"
+        "print(len(recs), recs[0].name)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        input=">p1\nPLANT\n>p2\nLIVING\n",
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "2 p1"
