@@ -36,7 +36,6 @@ import csv
 import io
 import math
 import sys
-from collections import Counter
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -215,82 +214,81 @@ def multisearch(
     n, _w = _device_pair_stats(query, target)
     k3 = minhash_ksize(query.config.ksize)
 
-    # database hash statistics over the target sketches
-    df: Counter = Counter()
-    db_ab: Counter = Counter()
-    for j in range(len(target)):
-        o0, o1 = target.offsets[j], target.offsets[j + 1]
-        for h, a in zip(target.mins[o0:o1], target.abundances[o0:o1]):
-            df[int(h)] += 1
-            db_ab[int(h)] += int(a)
-    sum_db_ab = float(sum(db_ab.values()))
+    # database hash statistics over the target sketches (vectorized:
+    # unique over all postings → per-hash document frequency + summed
+    # abundance, queried by searchsorted)
+    db_hashes, inverse = np.unique(target.mins, return_inverse=True)
+    df_arr = np.bincount(inverse, minlength=len(db_hashes))
+    db_ab_arr = np.bincount(
+        inverse, weights=target.abundances.astype(np.float64), minlength=len(db_hashes)
+    )
+    sum_db_ab = float(db_ab_arr.sum())
     n_targets = len(target)
     n_comparisons = float(len(query) * n_targets)
 
-    q_md5 = [query.signature(i).md5sum for i in range(len(query))]
-    t_md5 = [target.signature(j).md5sum for j in range(len(target))]
+    hit_q, hit_t = np.nonzero(n > 0)
+    q_md5 = {int(i): query.signature(int(i)).md5sum for i in set(hit_q.tolist())}
+    t_md5 = {int(j): target.signature(int(j)).md5sum for j in set(hit_t.tolist())}
 
     rows: List[Dict] = []
-    for qi in range(len(query)):
+    for qi, tj in zip(hit_q.tolist(), hit_t.tolist()):
         qo0, qo1 = query.offsets[qi], query.offsets[qi + 1]
         q_mins = query.mins[qo0:qo1]
         q_ab = query.abundances[qo0:qo1]
         sum_q_ab = float(q_ab.sum())
         qs = len(q_mins)
-        for tj in range(len(target)):
-            inter = int(n[qi, tj])
-            if inter <= 0:
-                continue
-            to0, to1 = target.offsets[tj], target.offsets[tj + 1]
-            t_mins = target.mins[to0:to1]
-            ts = len(t_mins)
-            containment = inter / qs
-            if containment < threshold:
-                continue
-            c_tq = inter / ts
-            union = qs + ts - inter
-            common, qpos, _tpos = np.intersect1d(
-                q_mins, t_mins, assume_unique=True, return_indices=True
+        inter = int(n[qi, tj])
+        to0, to1 = target.offsets[tj], target.offsets[tj + 1]
+        t_mins = target.mins[to0:to1]
+        ts = len(t_mins)
+        containment = inter / qs
+        if containment < threshold:
+            continue
+        c_tq = inter / ts
+        union = qs + ts - inter
+        common, qpos, _tpos = np.intersect1d(
+            q_mins, t_mins, assume_unique=True, return_indices=True
+        )
+        dbpos = np.searchsorted(db_hashes, common)
+        tf = q_ab[qpos].astype(np.float64) / sum_q_ab
+        prob = float((tf * (db_ab_arr[dbpos] / sum_db_ab)).sum())
+        tfidf = float(
+            (
+                tf
+                * (1.0 + np.log((1.0 + n_targets) / (1.0 + df_arr[dbpos])))
+            ).sum()
+        )
+        row = {
+            "query_name": query.names[qi],
+            "query_md5": q_md5[qi],
+            "match_name": target.names[tj],
+            "match_md5": t_md5[tj],
+            "containment": containment,
+            "max_containment": max(containment, c_tq),
+            "jaccard": inter / union if union else 0.0,
+            "intersect_hashes": float(inter),
+            "ksize": k3,
+            "scaled": query.config.scaled,
+            "moltype": query.config.moltype,
+        }
+        if estimate_prob_overlap:
+            prob_adj = prob * n_comparisons
+            row.update(
+                {
+                    "prob_overlap": prob,
+                    "prob_overlap_adjusted": prob_adj,
+                    "containment_adjusted": (
+                        containment / prob_adj if prob_adj else 0.0
+                    ),
+                    "containment_adjusted_log10": (
+                        math.log10(containment / prob_adj)
+                        if prob_adj and containment > 0
+                        else 0.0
+                    ),
+                    "tf_idf_score": tfidf,
+                }
             )
-            prob = 0.0
-            tfidf = 0.0
-            for h, qp in zip(common, qpos):
-                tf = int(q_ab[qp]) / sum_q_ab
-                prob += tf * (db_ab[int(h)] / sum_db_ab)
-                tfidf += tf * (
-                    1.0 + math.log((1.0 + n_targets) / (1.0 + df[int(h)]))
-                )
-            row = {
-                "query_name": query.names[qi],
-                "query_md5": q_md5[qi],
-                "match_name": target.names[tj],
-                "match_md5": t_md5[tj],
-                "containment": containment,
-                "max_containment": max(containment, c_tq),
-                "jaccard": inter / union if union else 0.0,
-                "intersect_hashes": float(inter),
-                "ksize": k3,
-                "scaled": query.config.scaled,
-                "moltype": query.config.moltype,
-            }
-            if estimate_prob_overlap:
-                prob_adj = prob * n_comparisons
-                row.update(
-                    {
-                        "prob_overlap": prob,
-                        "prob_overlap_adjusted": prob_adj,
-                        "containment_adjusted": (
-                            containment / prob_adj if prob_adj else 0.0
-                        ),
-                        "containment_adjusted_log10": (
-                            math.log10(containment / prob_adj)
-                            if prob_adj and containment > 0
-                            else 0.0
-                        ),
-                        "tf_idf_score": tfidf,
-                    }
-                )
-            rows.append(row)
+        rows.append(row)
     rows.sort(key=lambda r: (r["query_name"], r["match_name"]))
     return rows
 
