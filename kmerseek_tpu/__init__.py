@@ -8,3 +8,21 @@ as a fused TPU kernel and the index shardable across a device mesh.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: kmerseek_tpu.ProteomeIndex etc. without
+    importing jax at package import time."""
+    if name in ("ProteomeIndex", "IndexConfig", "ProteomeIndexBuilder"):
+        from .core import index as _index
+
+        return getattr(_index, name)
+    if name in ("manysearch", "multisearch"):
+        from .core import search as _search
+
+        return getattr(_search, name)
+    if name == "Signature":
+        from .core.signature import Signature
+
+        return Signature
+    raise AttributeError(name)

@@ -38,6 +38,7 @@ def cli():
 @click.option("--ksize", type=int, default=24)
 @click.option("--scaled", type=int, default=5)
 @click.option("--extract-kmers", is_flag=True, default=False)
+@click.option("--profile", default=None, help="Write a jax.profiler trace to this directory")
 @click.option("--debug", is_flag=True, help="Enable debug logging")
 @click.option(
     "--force",
@@ -45,9 +46,13 @@ def cli():
     help="Force creation of signature, kmer parquet, and index even if "
     "they're already there",
 )
-def index(fasta, moltype, ksize, scaled, extract_kmers, debug, force):
+def index(fasta, moltype, ksize, scaled, extract_kmers, profile, debug, force):
     """Index a proteome FASTA (reference index.py:77-118 contract)."""
     setup_logging(debug)
+    from .utils.metrics import device_profile
+
+    profiler = device_profile(profile)
+    profiler.__enter__()
     entity = KmerseekIndex(
         fasta,
         moltype=moltype,
@@ -64,6 +69,9 @@ def index(fasta, moltype, ksize, scaled, extract_kmers, debug, force):
     _ = entity.ksx
     if extract_kmers:
         logger.info("K-mers stored in: %s", entity.kmers_pq)
+    profiler.__exit__(None, None, None)
+    if profile:
+        logger.info("profiler trace written to %s", profile)
 
 
 @cli.command()

@@ -147,3 +147,35 @@ def test_index_cli_invalid_input(workdir, tmp_path):
 def test_index_cli_missing_file(tmp_path):
     result = _run(["index", str(tmp_path / "nope.fasta")], tmp_path)
     assert result.returncode != 0
+
+
+def test_search_cli_no_matches(workdir, tmp_path):
+    """A query sharing nothing with the target must emit an empty
+    result cleanly (header-only CSV, no crash)."""
+    tmp, _ced9, bcl2 = workdir
+    q = tmp_path / "nomatch.fasta"
+    # poly-W has no hp k16 hashes shared with anything realistic at scaled5
+    q.write_text(">weird\n" + "WC" * 200 + "\n")
+    result = _run(["search", "--ksize", "16", str(q), bcl2], tmp)
+    assert result.returncode == 0, result.stderr
+    lines = [l for l in result.stdout.splitlines() if l.strip()]
+    assert lines[0].startswith("query_name,")
+
+
+def test_top_level_api():
+    import kmerseek_tpu
+
+    assert kmerseek_tpu.ProteomeIndex.__name__ == "ProteomeIndex"
+    assert callable(kmerseek_tpu.manysearch)
+
+
+def test_index_cli_profile_flag(workdir):
+    tmp, ced9, _bcl2 = workdir
+    prof = os.path.join(tmp, "trace")
+    result = _run(
+        ["index", "--ksize", "5", "--scaled", "1", "--moltype", "protein",
+         "--profile", prof, ced9],
+        tmp,
+    )
+    assert result.returncode == 0, result.stderr
+    assert os.path.isdir(prof)
