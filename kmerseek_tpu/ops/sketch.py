@@ -194,22 +194,23 @@ def sorted_window_hashes(
     ``capacity`` bounds the per-row kept count; overflow is detectable
     as n_kept > capacity (counted pre-truncation).
     """
+    big = jnp.uint32(0xFFFFFFFF)
     if use_pallas:
-        from .sketch_pallas import window_hashes_pallas
+        # the fused kernel emits sentinel-masked keys + per-row counts
+        # directly (no keep array in HBM)
+        from .sketch_pallas import masked_window_keys_pallas
 
-        hashes, keep = window_hashes_pallas(
+        key_hi, key_lo, n_kept = masked_window_keys_pallas(
             seqs, lengths, k=k, scaled=scaled, moltype=moltype
         )
         W = seqs.shape[-1] - k + 1
-        hashes = U64(hashes.hi[:, :W], hashes.lo[:, :W])
-        keep = keep[:, :W]
+        key_hi = key_hi[:, :W]
+        key_lo = key_lo[:, :W]
     else:
         hashes, keep = window_hashes(seqs, lengths, k, scaled, moltype)
-
-    big = jnp.uint32(0xFFFFFFFF)
-    key_hi = jnp.where(keep, hashes.hi, big)
-    key_lo = jnp.where(keep, hashes.lo, big)
-    n_kept = keep.astype(jnp.int32).sum(axis=-1)
+        key_hi = jnp.where(keep, hashes.hi, big)
+        key_lo = jnp.where(keep, hashes.lo, big)
+        n_kept = keep.astype(jnp.int32).sum(axis=-1)
     s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2, dimension=-1)
     W = s_hi.shape[-1]
     if W < capacity:  # short-sequence bucket: pad out to the full slot count

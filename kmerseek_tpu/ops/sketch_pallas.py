@@ -93,6 +93,94 @@ def _sketch_kernel(seq_ref, len_ref, hi_ref, lo_ref, keep_ref, *, k, lut, mh_hi,
     keep_ref[:] = keep.astype(jnp.int8)
 
 
+def _masked_sketch_kernel(
+    seq_ref, len_ref, key_hi_ref, key_lo_ref, cnt_ref, *, k, lut, mh_hi, mh_lo, seed
+):
+    """Variant used by the production sketch stage: emits sentinel-masked
+    sort keys (dropped windows → u64::MAX) and per-row kept counts
+    directly, so the downstream stage is just slice + sort + run mask —
+    no keep array ever touches HBM."""
+    from .murmur3 import murmur64_windows_from_u32views
+
+    e32 = seq_ref[:].astype(jnp.uint32)
+    enc = _encode_in_kernel(e32, lut)
+    L_dim = enc.shape[1]
+
+    def rot(x, j):
+        return pltpu.roll(x, (L_dim - j) % L_dim, 1) if j % L_dim else x
+
+    p4 = enc | (rot(enc, 1) << 8) | (rot(enc, 2) << 16) | (rot(enc, 3) << 24)
+    n_words = (k + 3) // 4
+    u32_views = [rot(p4, 4 * m) for m in range(n_words)]
+    h = murmur64_windows_from_u32views(u32_views, k, seed)
+
+    TB, L = e32.shape
+    win_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
+    n_windows = len_ref[:].astype(jnp.int32) - (k - 1)
+    in_range = win_idx < n_windows
+    below = (h.hi < jnp.uint32(mh_hi)) | (
+        (h.hi == jnp.uint32(mh_hi)) & (h.lo <= jnp.uint32(mh_lo))
+    )
+    keep = in_range & below
+    big = jnp.uint32(0xFFFFFFFF)
+    key_hi_ref[:] = jnp.where(keep, h.hi, big)
+    key_lo_ref[:] = jnp.where(keep, h.lo, big)
+    cnt_ref[:] = keep.astype(jnp.int32).sum(axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "scaled", "moltype", "seed", "interpret")
+)
+def masked_window_keys_pallas(
+    seqs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    k: int,
+    scaled: int,
+    moltype: str,
+    seed: int = MURMUR_SEED,
+    interpret: bool = False,
+):
+    """Fused kernel → (sentinel-masked key_hi/key_lo (B, L), n_kept (B,))."""
+    B, L = seqs.shape
+    TB = _pick_block_rows(B, L, k)
+    pad_B = (-B) % TB
+    if pad_B:
+        seqs = jnp.pad(seqs, ((0, pad_B), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad_B))
+    Bp = B + pad_B
+
+    mh = max_hash_for_scaled(scaled)
+    kernel = functools.partial(
+        _masked_sketch_kernel,
+        k=k,
+        lut=get_encoding_lut(moltype),
+        mh_hi=(mh >> 32) & 0xFFFFFFFF,
+        mh_lo=mh & 0xFFFFFFFF,
+        seed=seed,
+    )
+    key_hi, key_lo, cnt = pl.pallas_call(
+        kernel,
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(seqs, lengths.reshape(-1, 1).astype(jnp.int32))
+    return key_hi[:B], key_lo[:B], cnt[:B, 0]
+
+
 def _pick_block_rows(B: int, L: int, k: int) -> int:
     per_row = (k + 10) * L * 4
     tb = max(_VMEM_BUDGET // per_row, 1)

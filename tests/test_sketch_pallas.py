@@ -63,3 +63,34 @@ def test_pallas_row_padding():
     h_ref, keep_ref = window_hashes(seqs, lens, 5, 1, "protein")
     W = 128 - 5 + 1
     assert np.array_equal(np.asarray(keep_ref), np.asarray(keep[:, :W]))
+
+
+def test_masked_kernel_matches_xla_sorted_path():
+    """The fused masked-key kernel must reproduce sorted_window_hashes."""
+    import jax
+
+    from kmerseek_tpu.ops.sketch import sorted_window_hashes
+    from kmerseek_tpu.ops.sketch_pallas import masked_window_keys_pallas
+
+    rng = np.random.default_rng(5)
+    seqs, lens = _random_batch(rng, 5, 256)
+    for k, scaled in [(16, 5), (24, 5), (10, 1)]:
+        ref = sorted_window_hashes(
+            seqs, lens, k=k, scaled=scaled, moltype="hp", capacity=128,
+            use_pallas=False,
+        )
+        key_hi, key_lo, n_kept = masked_window_keys_pallas(
+            seqs, lens, k=k, scaled=scaled, moltype="hp", interpret=True
+        )
+        W = seqs.shape[1] - k + 1
+        s_hi, s_lo = jax.lax.sort(
+            (key_hi[:, :W], key_lo[:, :W]), num_keys=2, dimension=-1
+        )
+        assert np.array_equal(np.asarray(n_kept), np.asarray(ref[3])), (k, scaled)
+        cap = min(128, W)
+        assert np.array_equal(
+            np.asarray(s_hi[:, :cap]), np.asarray(ref[0][:, :cap])
+        ), (k, scaled)
+        assert np.array_equal(
+            np.asarray(s_lo[:, :cap]), np.asarray(ref[1][:, :cap])
+        ), (k, scaled)
