@@ -59,9 +59,29 @@ def extract_kmer_table(
     batch_rows: int = 512,
 ) -> pa.Table:
     """Build the k-mer table for already-validated sequences."""
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from ..ops.sketch import window_hashes
+
+    # k-mer extraction is host-centric string work; its hash pass is
+    # jitted (window_hashes alone would dispatch eagerly, op by op) and
+    # pinned to the CPU backend — running it over the TPU tunnel costs
+    # minutes of remote compiles for no benefit.
+    cpu0 = jax.local_devices(backend="cpu")[0]
+
+    @functools.partial(jax.jit, static_argnames=("k", "scaled", "moltype"))
+    def _hash_pass_jit(arr, lens, k, scaled, moltype):
+        hashes, keep = window_hashes(arr, lens, k, scaled, moltype)
+        return hashes.hi, hashes.lo, keep
+
+    def _hash_pass(arr, lens, k, scaled, moltype):
+        with jax.default_device(cpu0):
+            return _hash_pass_jit(
+                jax.device_put(arr, cpu0), jax.device_put(lens, cpu0), k, scaled, moltype
+            )
 
     cols_file: List[str] = []
     cols_name: List[str] = []
@@ -74,11 +94,11 @@ def extract_kmer_table(
         chunk_names = names[lo : lo + batch_rows]
         chunk_seqs = resolved_seqs[lo : lo + batch_rows]
         arr, lens = pack_batch(chunk_seqs, min_len=max(ksize + 1, 128))
-        hashes, keep = window_hashes(
+        hi, lo_w, keep = _hash_pass(
             jnp.asarray(arr), jnp.asarray(lens), ksize, scaled, moltype
         )
         keep_np = np.asarray(keep)
-        h64 = u64.join_np(np.asarray(hashes.hi), np.asarray(hashes.lo))
+        h64 = u64.join_np(np.asarray(hi), np.asarray(lo_w))
         for i, name in enumerate(chunk_names):
             seq = chunk_seqs[i]
             enc = encode_bytes_np(np.frombuffer(seq, np.uint8), moltype).tobytes()
