@@ -49,7 +49,10 @@ def cli():
 def index(fasta, moltype, ksize, scaled, extract_kmers, profile, debug, force):
     """Index a proteome FASTA (reference index.py:77-118 contract)."""
     setup_logging(debug)
+    from .utils.device import ensure_usable_backend
     from .utils.metrics import device_profile
+
+    ensure_usable_backend()
 
     profiler = device_profile(profile)
     profiler.__enter__()
@@ -113,6 +116,9 @@ def search(
 ):
     """Search for k-mers in target sequences (search.py:287-373 contract)."""
     setup_logging(debug)
+    from .utils.device import ensure_usable_backend
+
+    ensure_usable_backend()
 
     query = KmerseekQuery(
         query_fasta,

@@ -1,0 +1,55 @@
+"""Accelerator health probing and backend fallback.
+
+The axon TPU tunnel in this environment can wedge indefinitely —
+dispatches hang and the client ignores SIGTERM — so anything
+user-facing probes the accelerator in a hard-killed subprocess first
+and falls back to the CPU backend instead of hanging. Disable with
+``KMERSEEK_NO_DEVICE_PROBE=1`` (e.g. on real, tunnel-free TPU hosts).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def device_healthy(deadline_s: int = 120) -> bool:
+    """True iff a trivial op completes on the default accelerator."""
+    code = "import jax, jax.numpy as jnp;print(float((jnp.ones((8,128))*2).sum()))"
+    try:
+        r = subprocess.run(
+            ["timeout", "-k", "5", str(deadline_s), sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=deadline_s + 15,
+        )
+        return r.returncode == 0 and "2048" in r.stdout
+    except Exception:
+        return False
+
+
+def ensure_usable_backend() -> str:
+    """Fall back to CPU when the accelerator is unreachable.
+
+    Returns the backend that will be used. No-op when the platform is
+    already CPU or probing is disabled."""
+    if os.environ.get("KMERSEEK_NO_DEVICE_PROBE"):
+        return os.environ.get("JAX_PLATFORMS", "default")
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return "cpu"
+    if device_healthy():
+        return os.environ.get("JAX_PLATFORMS", "default")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    from .logging import logger
+
+    logger.warning(
+        "accelerator unreachable — falling back to the CPU backend"
+    )
+    return "cpu"
