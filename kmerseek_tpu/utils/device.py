@@ -29,11 +29,31 @@ def device_healthy(deadline_s: int = 120) -> bool:
         return False
 
 
+def enable_compilation_cache() -> None:
+    """Persistent on-disk XLA compilation cache (amortizes the tunnel's
+    minutes-long remote compiles across CLI invocations)."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "KMERSEEK_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "kmerseek_jax"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never fail over it
+
+
 def ensure_usable_backend() -> str:
     """Fall back to CPU when the accelerator is unreachable.
 
-    Returns the backend that will be used. No-op when the platform is
-    already CPU or probing is disabled."""
+    Also enables the persistent compilation cache. Returns the backend
+    that will be used. No-op when the platform is already CPU or
+    probing is disabled."""
+    enable_compilation_cache()
     if os.environ.get("KMERSEEK_NO_DEVICE_PROBE"):
         return os.environ.get("JAX_PLATFORMS", "default")
     if os.environ.get("JAX_PLATFORMS") == "cpu":
