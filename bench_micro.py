@@ -24,6 +24,9 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from kmerseek_tpu.ops.sketch import sketch_capacity, sorted_window_hashes
