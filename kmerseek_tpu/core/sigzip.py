@@ -35,10 +35,19 @@ from .signature import Signature, minhash_ksize
 def write_sig_zip(path: str, signatures: List[Signature]) -> str:
     """Write signatures as a sourmash-compatible .sig.zip."""
     manifest_rows = []
+    used_names = set()
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as z:
         for sig in signatures:
             md5 = sig.md5sum
+            # identical sketches (duplicate proteins) share one md5;
+            # deduplicate internal names like sourmash ZipStorage does so
+            # no signature is silently shadowed inside the archive
             internal = f"signatures/{md5}.sig.gz"
+            bump = 0
+            while internal in used_names:
+                bump += 1
+                internal = f"signatures/{md5}_{bump}.sig.gz"
+            used_names.add(internal)
             payload = [
                 {
                     "class": "sourmash_signature",

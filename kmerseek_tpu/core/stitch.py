@@ -45,7 +45,11 @@ STITCH_COLUMNS = [
 
 
 def single_stitch_together_kmers(kmers: Sequence[str], i_kmers: Sequence[int]) -> str:
-    """search.py:37-58, including the Δ==0 whole-k-mer append quirk."""
+    """search.py:37-58, mirroring ``kmer[-kmer_slice:]`` verbatim:
+    Δ>0 appends the last Δ chars, Δ==0 the whole k-mer (the ``[-0:]``
+    Python quirk), Δ<0 the chars from index |Δ| on (rows are sorted by
+    start_query, so start_match deltas can go negative on multi-position
+    or collision matches)."""
     stitched = ""
     prev = 0
     for i, (i_kmer, kmer) in enumerate(zip(i_kmers, kmers)):
@@ -53,7 +57,7 @@ def single_stitch_together_kmers(kmers: Sequence[str], i_kmers: Sequence[int]) -
             stitched = kmer
         else:
             delta = i_kmer - prev
-            stitched += kmer[len(kmer) - delta :] if delta > 0 else kmer
+            stitched += kmer[-delta:] if delta != 0 else kmer
         prev = i_kmer
     return stitched
 

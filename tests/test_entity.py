@@ -86,6 +86,17 @@ def test_stitch_delta_zero_quirk():
     assert single_stitch_together_kmers(["ABCDE", "FGHIJ"], [0, 5]) == "ABCDEFGHIJ"
 
 
+def test_stitch_negative_delta_matches_reference_slice():
+    """Δ<0 appends kmer[|Δ|:] — the reference's kmer[-kmer_slice:] with a
+    negative slice (search.py:52-53), NOT the whole k-mer."""
+    from kmerseek_tpu.core.stitch import single_stitch_together_kmers
+
+    # delta = 1 - 3 = -2 → appends kmer[2:] = "ZPQ"
+    assert single_stitch_together_kmers(["ABCDE", "XYZPQ"], [3, 1]) == "ABCDEZPQ"
+    # delta = 1 - 9 = -8 → kmer[8:] is empty (len-5 kmer): nothing appended
+    assert single_stitch_together_kmers(["ABCDE", "XYZPQ"], [9, 1]) == "ABCDE"
+
+
 def test_multihost_sharding_helpers():
     from kmerseek_tpu.parallel.multihost import (
         hash_range_for_shard,

@@ -104,3 +104,25 @@ def test_mixed_case_and_compression():
     assert sorted(by_name.values()) == [7, 17]
     comb, _ = idx.combined
     assert len(comb) == 24
+
+
+def test_sig_zip_duplicate_sketches_not_shadowed(tmp_path):
+    """Identical sketches share one md5; the writer must deduplicate the
+    internal 'signatures/<md5>.sig.gz' names (like sourmash ZipStorage)
+    so every signature survives a write/read roundtrip."""
+    from kmerseek_tpu.core.signature import Signature
+    from kmerseek_tpu.core.sigzip import read_sig_zip, write_sig_zip
+
+    mins = np.array([11, 22, 33], np.uint64)
+    ab = np.array([1, 2, 3], np.int64)
+    sigs = [
+        Signature(name=n, mins=mins, abundances=ab, ksize=16, scaled=5, moltype="hp")
+        for n in ("protA", "protB", "protC")
+    ]
+    p = str(tmp_path / "dup.sig.zip")
+    write_sig_zip(p, sigs)
+    back = read_sig_zip(p)
+    assert sorted(s.name for s in back) == ["protA", "protB", "protC"]
+    for s in back:
+        assert np.array_equal(s.mins, mins)
+        assert np.array_equal(s.abundances, ab)
