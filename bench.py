@@ -186,13 +186,15 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
     return total_kmers / dt, total_kmers
 
 
-def _device_healthy(deadline_s: int = 120) -> bool:
-    """Probe the accelerator in a hard-killed subprocess.
+def _device_healthy(deadline_s: int = 75) -> bool:
+    """Probe the accelerator with the tiniest possible program, in a
+    hard-killed subprocess.
 
     The axon tunnel can wedge indefinitely (dispatches hang and the
     client ignores SIGTERM), so the probe runs out-of-process under
-    ``timeout -k``; on failure the benchmark falls back to the CPU
-    backend rather than hanging the driver."""
+    ``timeout -k``. The probe doubles as the tunnel warm-up: a
+    successful probe means the worker handshake + a trivial compile
+    completed."""
     import subprocess
 
     code = (
@@ -211,58 +213,98 @@ def _device_healthy(deadline_s: int = 120) -> bool:
         return False
 
 
-def main():
-    # The accelerator tunnel can wedge mid-run even after a healthy
-    # probe, so the accelerator measurement runs in a hard-killed child
-    # process; any failure falls back to an in-process CPU run. The
-    # driver's invocation can therefore never hang.
-    if (
-        os.environ.get("JAX_PLATFORMS") not in ("cpu",)
-        and os.environ.get("KMERSEEK_BENCH_CHILD") != "1"
-    ):
-        import subprocess
+# Orchestration budget. The TPU worker behind the axon tunnel goes down
+# for 10-60+ minutes at a time (observed round 1), so one 120 s probe is
+# a coin flip. Instead: up to two hard-killed child attempts, each of
+# which retries the health probe with backoff across its whole budget,
+# then a CPU fallback — the driver always gets a JSON line, and the
+# accelerator gets ~25 min of chances to come back.
+_TOTAL_BUDGET_S = int(os.environ.get("KMERSEEK_BENCH_BUDGET_S", "2100"))
+_CHILD_BUDGET_S = int(os.environ.get("KMERSEEK_BENCH_CHILD_BUDGET_S", "870"))
+_CPU_RESERVE_S = 240  # kept back for the in-process CPU fallback
+_MEASURE_MIN_S = 270  # probe loop must leave this much for the measurement
 
+
+def _child_main():
+    """Accelerator-only measurement; exits nonzero if the accelerator
+    never becomes healthy within the child budget (parent handles CPU
+    fallback)."""
+    deadline = time.monotonic() + int(
+        os.environ.get("KMERSEEK_CHILD_DEADLINE_S", str(_CHILD_BUDGET_S))
+    ) - 20
+    backoff = iter((30, 45, 60, 90, 120, 120, 120, 150, 180))
+    healthy = False
+    while time.monotonic() + _MEASURE_MIN_S < deadline:
+        if _device_healthy(deadline_s=75):
+            healthy = True
+            break
+        wait = next(backoff, 180)
+        if time.monotonic() + wait + _MEASURE_MIN_S >= deadline:
+            break
+        print(f"probe failed; retrying in {wait}s", file=sys.stderr)
+        time.sleep(wait)
+    if not healthy:
+        print("accelerator never became healthy in child budget", file=sys.stderr)
+        sys.exit(3)
+    from kmerseek_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
+    _run_and_print("accelerator", search_deadline=deadline)
+
+
+def main():
+    if os.environ.get("KMERSEEK_BENCH_CHILD") == "1":
+        _child_main()
+        return
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        _run_and_print("cpu (explicit)")
+        return
+
+    # Parent: the tunnel can wedge mid-run even after a healthy probe,
+    # so each accelerator attempt runs in a hard-killed child process;
+    # the driver's invocation can therefore never hang.
+    import subprocess
+
+    t_start = time.monotonic()
+    deadline = t_start + _TOTAL_BUDGET_S
+    for attempt in (1, 2):
+        remaining = deadline - time.monotonic() - _CPU_RESERVE_S
+        if remaining < _MEASURE_MIN_S + 60:
+            break
+        child_budget = int(min(_CHILD_BUDGET_S, remaining))
         env = dict(os.environ)
         env["KMERSEEK_BENCH_CHILD"] = "1"
+        env["KMERSEEK_CHILD_DEADLINE_S"] = str(child_budget)
         try:
             r = subprocess.run(
-                ["timeout", "-k", "10", "900", sys.executable, os.path.abspath(__file__)],
+                [
+                    "timeout", "-k", "10", str(child_budget + 10),
+                    sys.executable, os.path.abspath(__file__),
+                ],
                 capture_output=True,
                 text=True,
-                timeout=930,
+                timeout=child_budget + 30,
                 env=env,
             )
+            sys.stderr.write(r.stderr[-2000:])
             for line in reversed(r.stdout.strip().splitlines()):
                 if line.startswith("{"):
                     print(line)
                     return
-        except Exception:
-            pass
-        # child failed or hung: measure on CPU here
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+        except Exception as e:
+            print(f"bench child attempt {attempt} failed: {e}", file=sys.stderr)
+    # both child attempts failed or hung: measure on CPU here
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
 
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-        _run_and_print("cpu-fallback (accelerator run failed)")
-        return
-
-    backend = "accelerator" if os.environ.get("JAX_PLATFORMS") not in ("cpu",) else "cpu"
-    if backend == "accelerator" and not _device_healthy():
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        backend = "cpu-fallback (accelerator unreachable)"
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-    _run_and_print(backend)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _run_and_print("cpu-fallback (accelerator run failed)")
 
 
-def _run_and_print(backend: str):
+def _run_and_print(backend: str, search_deadline: float | None = None):
     # the axon sitecustomize force-sets jax_platforms='axon,cpu' at
     # interpreter start regardless of the env var, so a CPU intent must
     # be enforced through jax.config explicitly
@@ -294,6 +336,19 @@ def _run_and_print(backend: str):
             "backend": f"{jax.default_backend()} ({backend})",
         },
     }
+
+    # second headline metric (BASELINE.json): queries/s on a
+    # UniProt-scale index — measured in the same process/backend when
+    # time allows
+    if search_deadline is None or time.monotonic() + 120 < search_deadline:
+        try:
+            from bench_search import measure_search
+
+            s = measure_search(backend)
+            result["detail"]["search_queries_per_second"] = s["value"]
+            result["detail"]["search"] = s["detail"]
+        except Exception as e:
+            result["detail"]["search_error"] = repr(e)
     print(json.dumps(result))
 
 

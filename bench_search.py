@@ -41,33 +41,24 @@ def _mk(rng, n, S, fill=100):
     return hi, lo, ab, counts
 
 
-def main():
-    from bench import _device_healthy
+def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QUERIES,
+                   sketch: int = SKETCH, iters: int = 5) -> dict:
+    """Measure manysearch device scoring throughput on the CURRENT backend.
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        backend = "cpu (explicit)"
-    elif _device_healthy():
-        backend = "accelerator"
-    else:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        backend = "cpu-fallback"
-
+    Assumes the backend is already selected/probed by the caller;
+    returns the result dict (same shape as this script's JSON line)."""
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", None) or "axon")
-    except Exception:
-        pass
-
     from kmerseek_tpu.ops.inverted import build_inverted_np, inverted_pair_stats
 
+    TARGETS_, QUERIES_, SKETCH_ = targets, queries, sketch
     rng = np.random.default_rng(0)
-    t_hi, t_lo, t_ab, t_c = _mk(rng, TARGETS, SKETCH)
-    q_hi, q_lo, _q_ab, q_c = _mk(rng, QUERIES, SKETCH)
+    t_hi, t_lo, t_ab, t_c = _mk(rng, TARGETS_, SKETCH_)
+    q_hi, q_lo, _q_ab, q_c = _mk(rng, QUERIES_, SKETCH_)
 
     # flatten targets into the inverted posting arrays (host, once)
-    mask = np.arange(SKETCH)[None, :] < t_c[:, None]
+    mask = np.arange(SKETCH_)[None, :] < t_c[:, None]
     mins64 = (t_hi.astype(np.uint64) << np.uint64(32)) | t_lo.astype(np.uint64)
     mins = mins64[mask]
     offsets = np.concatenate([[0], np.cumsum(t_c)]).astype(np.int64)
@@ -77,7 +68,7 @@ def main():
     g_hi, g_lo = dev(inv.g_hi), dev(inv.g_lo)
     tid, ab = dev(inv.tid), dev(inv.ab)
     q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
-    q_valid = dev(np.arange(SKETCH)[None, :] < q_c[:, None])
+    q_valid = dev(np.arange(SKETCH_)[None, :] < q_c[:, None])
 
     red = jax.jit(lambda c, w, d: c.sum() + w.sum() + d)
 
@@ -93,29 +84,49 @@ def main():
     warm = int(step(jnp.int32(0)))
     compile_s = time.perf_counter() - t0
 
-    iters = 5
     t0 = time.perf_counter()
     dep = jnp.int32(0)
     for _ in range(iters):
         dep = step(dep)
     final = int(dep)
     dt = (time.perf_counter() - t0) / iters
+    assert warm >= 0 and final >= 0
 
-    result = {
+    return {
         "metric": "search_queries_per_second",
-        "value": QUERIES / dt,
+        "value": QUERIES_ / dt,
         "unit": "queries/s",
         "detail": {
-            "targets": TARGETS,
-            "queries": QUERIES,
-            "sketch_slots": SKETCH,
-            "pairs_per_s": QUERIES * TARGETS / dt,
+            "targets": TARGETS_,
+            "queries": QUERIES_,
+            "sketch_slots": SKETCH_,
+            "pairs_per_s": QUERIES_ * TARGETS_ / dt,
             "compile_s": compile_s,
-            "backend": f"{jax.default_backend()} ({backend})",
+            "backend": f"{jax.default_backend()} ({backend_label})",
         },
     }
-    print(json.dumps(result))
-    assert warm >= 0 and final >= 0
+
+
+def main():
+    from kmerseek_tpu.utils.device import device_healthy
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        backend = "cpu (explicit)"
+    elif device_healthy():
+        backend = "accelerator"
+    else:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        backend = "cpu-fallback"
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_platforms", os.environ.get("JAX_PLATFORMS", None) or "axon"
+        )
+    except Exception:
+        pass
+    print(json.dumps(measure_search(backend)))
 
 
 if __name__ == "__main__":
