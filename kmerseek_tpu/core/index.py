@@ -145,6 +145,7 @@ class ProteomeIndex:
         self.sequences = sequences  # raw (resolved) sequences when stored
         self._combined = None
         self._kmer_table = None
+        self._inverted = None
 
     # ------------------------------------------------------------------
     # construction
@@ -295,6 +296,22 @@ class ProteomeIndex:
             self._combined = merge_sketches_np(mins_list, ab_list)
         return self._combined
 
+    @property
+    def inverted(self):
+        """Globally sorted posting arrays for the inverted search engine.
+
+        Built once per index (host argsort) and cached; ``save``/``load``
+        persist it so a loaded ``.ksx`` never re-sorts — the build-once
+        revindex semantics of branchwater's ``do_index``
+        (/root/reference/src/python/kmerseek/index.py:55-74)."""
+        if self._inverted is None:
+            from ..ops.inverted import build_inverted_np
+
+            self._inverted = build_inverted_np(
+                self.mins, self.abundances, self.offsets
+            )
+        return self._inverted
+
     def dense_device_arrays(self, pad_multiple: int = 128):
         """Padded (T, S) device arrays for the search kernels.
 
@@ -371,6 +388,17 @@ class ProteomeIndex:
             abundances=self.abundances,
             offsets=self.offsets,
         )
+        # persist the inverted posting arrays (search index) so loads
+        # skip the global argsort — branchwater do_index parity
+        inv = self.inverted
+        np.savez_compressed(
+            os.path.join(path, "inverted.npz"),
+            g_hi=inv.g_hi,
+            g_lo=inv.g_lo,
+            tid=inv.tid,
+            ab=inv.ab,
+            shape=np.asarray([inv.n_targets, inv.max_run], np.int64),
+        )
         if self.sequences is not None:
             seq_off = np.zeros(len(self.sequences) + 1, np.int64)
             for i, s in enumerate(self.sequences):
@@ -400,7 +428,7 @@ class ProteomeIndex:
             sq = np.load(seq_path)
             data, offs = sq["data"].tobytes(), sq["offsets"]
             sequences = [data[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
-        return cls(
+        idx = cls(
             IndexConfig(meta["ksize"], meta["scaled"], meta["moltype"]),
             meta["names"],
             arrays["mins"],
@@ -409,6 +437,16 @@ class ProteomeIndex:
             source_fasta=meta.get("source_fasta", ""),
             sequences=sequences,
         )
+        inv_path = os.path.join(path, "inverted.npz")
+        if os.path.exists(inv_path):
+            from ..ops.inverted import InvertedIndex
+
+            iz = np.load(inv_path)
+            n_targets, max_run = (int(v) for v in iz["shape"])
+            idx._inverted = InvertedIndex(
+                iz["g_hi"], iz["g_lo"], iz["tid"], iz["ab"], n_targets, max_run
+            )
+        return idx
 
     # ------------------------------------------------------------------
     # sourmash interop

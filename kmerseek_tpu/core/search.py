@@ -40,7 +40,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..ops.intersect import pairwise_stats
 from .index import ProteomeIndex
 from .signature import minhash_ksize
 
@@ -106,18 +105,100 @@ def _device_pair_stats(query: ProteomeIndex, target: ProteomeIndex):
     return np.asarray(counts), np.asarray(weights)
 
 
-def _intersect_abundances(query, target, qi: int, tj: int) -> np.ndarray:
-    """Target abundances over the (query, target) hash intersection —
-    host-side order statistics for one emitted row."""
-    qo0, qo1 = query.offsets[qi], query.offsets[qi + 1]
-    to0, to1 = target.offsets[tj], target.offsets[tj + 1]
-    _common, _qpos, tpos = np.intersect1d(
-        query.mins[qo0:qo1],
-        target.mins[to0:to1],
-        assume_unique=True,
-        return_indices=True,
+class _JoinSegments:
+    """Sparse (query, target) hit segments of the flat intersection join.
+
+    One ``searchsorted`` of every query hash into the target's globally
+    sorted posting array expands to (q_row, target, abundance) tuples —
+    one per query-hash/target co-occurrence — which, lexsorted by
+    (q_row, target, <inner>), form contiguous segments: exactly the hit
+    pairs with ≥1 shared hash. All per-pair statistics then fall out of
+    segmented reductions (``np.add.reduceat``); no per-row Python work.
+    Replaces the per-hit-row ``np.intersect1d`` loop (round-1 bottleneck
+    at corpus scale)."""
+
+    __slots__ = (
+        "starts", "seg_n", "seg_q", "seg_t", "seg_id",
+        "pab", "qhash", "total",
     )
-    return target.abundances[to0:to1][tpos]
+
+    def __init__(self, starts, seg_n, seg_q, seg_t, seg_id, pab, qhash, total):
+        self.starts = starts
+        self.seg_n = seg_n
+        self.seg_q = seg_q
+        self.seg_t = seg_t
+        self.seg_id = seg_id
+        self.pab = pab
+        self.qhash = qhash
+        self.total = total
+
+
+def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _JoinSegments:
+    """Vectorized intersection join via the target's inverted index.
+
+    ``inner`` picks the within-segment tuple order: ``"ab"`` (ascending
+    target abundance — enables O(1) segmented medians) or ``"hash"``
+    (ascending hash value — reproduces the reference's per-hash
+    summation order for multisearch probability scores)."""
+    inv = target.inverted
+    g = inv.g64()
+    qm = query.mins
+    lo = np.searchsorted(g, qm, side="left")
+    hi = np.searchsorted(g, qm, side="right")
+    cnt = (hi - lo).astype(np.int64)
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return _JoinSegments(z, z, z, z, z, z, z, 0)
+    q_sizes = np.diff(query.offsets)
+    q_row_per_hash = np.repeat(np.arange(len(query), dtype=np.int64), q_sizes)
+    # expand each query hash's posting span [lo, hi) into flat indices
+    base = np.repeat(cnt.cumsum() - cnt, cnt)
+    idx = np.arange(total, dtype=np.int64) - base + np.repeat(lo, cnt)
+    pq = np.repeat(q_row_per_hash, cnt)
+    pt = inv.tid[idx].astype(np.int64)
+    pab = inv.ab[idx].astype(np.int64)
+    qhash = np.repeat(np.arange(len(qm), dtype=np.int64), cnt)
+    inner_key = pab if inner == "ab" else qm[qhash]
+    order = np.lexsort((inner_key, pt, pq))
+    pq, pt, pab, qhash = pq[order], pt[order], pab[order], qhash[order]
+    new = np.empty(total, bool)
+    new[0] = True
+    new[1:] = (pq[1:] != pq[:-1]) | (pt[1:] != pt[:-1])
+    starts = np.flatnonzero(new)
+    seg_n = np.diff(np.append(starts, total))
+    seg_id = np.cumsum(new) - 1
+    return _JoinSegments(
+        starts, seg_n, pq[starts], pt[starts], seg_id, pab, qhash, total
+    )
+
+
+def _validate_device_stats(n, w, js: _JoinSegments, weighted, sample: int = 64):
+    """Cross-check the device engine against the host join.
+
+    Structural checks are full (hit-pair count and total intersection
+    size); per-pair values are sampled. Weighted sums are only compared
+    where they fit the device's int32 accumulator — the host's int64
+    sums are authoritative for high-abundance corpora. Raises a
+    descriptive error instead of a bare assert (survives ``python -O``)."""
+    if int(np.count_nonzero(n)) != len(js.seg_n) or int(n.sum()) != js.total:
+        raise RuntimeError(
+            "device/host search disagreement: inverted-index engine found "
+            f"{int(np.count_nonzero(n))} hit pairs / {int(n.sum())} shared "
+            f"hashes, host join found {len(js.seg_n)} / {js.total}"
+        )
+    rng = np.random.default_rng(0)
+    take = rng.choice(len(js.seg_n), size=min(sample, len(js.seg_n)), replace=False)
+    sq, st = js.seg_q[take], js.seg_t[take]
+    if not np.array_equal(n[sq, st], js.seg_n[take]):
+        raise RuntimeError(
+            "device/host search disagreement on sampled intersect counts"
+        )
+    ok = weighted[take] < 2**31
+    if not np.array_equal(w[sq[ok], st[ok]], weighted[take][ok]):
+        raise RuntimeError(
+            "device/host search disagreement on sampled weighted sums"
+        )
 
 
 def _ani(containment: float, k3: int) -> float:
@@ -144,62 +225,105 @@ def manysearch(
     scaled = query.config.scaled
     moltype = query.config.moltype
 
-    q_sizes = query.counts
-    t_sizes = target.counts
+    js = _host_join(query, target, inner="ab")
+    if js.total == 0:
+        return []
+    q_sizes = np.diff(query.offsets)
+    t_sizes = np.diff(target.offsets)
     t_weight = np.add.reduceat(
         np.append(target.abundances, 0), target.offsets[:-1]
     ) * (t_sizes > 0)
-    # md5s only for signatures that appear in a hit row
-    hit_q, hit_t = np.nonzero(n > 0)
-    q_md5 = {int(i): query.signature(int(i)).md5sum for i in set(hit_q.tolist())}
-    t_md5 = {int(j): target.signature(int(j)).md5sum for j in set(hit_t.tolist())}
 
-    rows: List[Dict] = []
-    for qi, tj in zip(hit_q.tolist(), hit_t.tolist()):
-        inter = int(n[qi, tj])
-        qs, ts = int(q_sizes[qi]), int(t_sizes[tj])
-        containment = inter / qs
-        if containment < threshold:
-            continue
-        c_tq = inter / ts
-        union = qs + ts - inter
-        jaccard = inter / union if union else 0.0
-        ab_vec = _intersect_abundances(query, target, qi, tj)
-        weighted = int(ab_vec.sum())
-        assert weighted == int(w[qi, tj])  # device/host consistency
-        avg = weighted / inter
-        med = float(np.median(ab_vec))
-        std = float(np.std(ab_vec))  # population std, matching golden 0.0
-        ani_q = _ani(containment, k3)
-        ani_t = _ani(c_tq, k3)
-        rows.append(
-            {
-                "query_name": query.names[qi],
-                "query_md5": q_md5[qi],
-                "match_name": target.names[tj],
-                "containment": containment,
-                "intersect_hashes": inter,
-                "ksize": k3,
-                "scaled": scaled,
-                "moltype": moltype,
-                "match_md5": t_md5[tj],
-                "jaccard": jaccard,
-                "max_containment": max(containment, c_tq),
-                "average_abund": avg,
-                "median_abund": med,
-                "std_abund": std,
-                "query_containment_ani": ani_q,
-                "match_containment_ani": ani_t,
-                "average_containment_ani": (ani_q + ani_t) / 2.0,
-                "max_containment_ani": max(ani_q, ani_t),
-                "n_weighted_found": weighted,
-                "total_weighted_hashes": int(t_weight[tj]),
-                "containment_target_in_query": c_tq,
-                "f_weighted_target_in_query": weighted / int(t_weight[tj]),
-            }
+    # segmented statistics over the target abundances of each pair's
+    # intersection (tuples within a segment are sorted by abundance)
+    weighted = np.add.reduceat(js.pab, js.starts)  # int64 — no overflow
+    _validate_device_stats(n, w, js, weighted)
+    mean = weighted / js.seg_n
+    dev = js.pab.astype(np.float64) - mean[js.seg_id]
+    std = np.sqrt(np.add.reduceat(dev * dev, js.starts) / js.seg_n)
+    mid_lo = js.starts + (js.seg_n - 1) // 2
+    mid_hi = js.starts + js.seg_n // 2
+    median = (js.pab[mid_lo] + js.pab[mid_hi]) / 2.0
+
+    qs = q_sizes[js.seg_q]
+    ts = t_sizes[js.seg_t]
+    containment = js.seg_n / qs
+    keep = containment >= threshold
+    c_tq = js.seg_n / ts
+    jaccard = js.seg_n / (qs + ts - js.seg_n)
+    tw = t_weight[js.seg_t]
+    f_weighted = weighted / tw
+
+    # md5s only for signatures that appear in a kept row
+    q_md5 = {
+        int(i): query.signature(int(i)).md5sum
+        for i in np.unique(js.seg_q[keep]).tolist()
+    }
+    t_md5 = {
+        int(j): target.signature(int(j)).md5sum
+        for j in np.unique(js.seg_t[keep]).tolist()
+    }
+
+    # emit in (query_name, match_name) order without a Python sort
+    kept = np.flatnonzero(keep)
+    kept = kept[
+        np.lexsort(
+            (
+                np.asarray(target.names)[js.seg_t[kept]],
+                np.asarray(query.names)[js.seg_q[kept]],
+            )
         )
-    rows.sort(key=lambda r: (r["query_name"], r["match_name"]))
-    return rows
+    ]
+
+    # column lists (one vectorized conversion each), then a single
+    # zip comprehension — per-row Python work is dict construction only
+    sq = js.seg_q[kept].tolist()
+    st = js.seg_t[kept].tolist()
+    cont_l = containment[kept].tolist()
+    ctq_l = c_tq[kept].tolist()
+    # scalar libm exp/log — keeps the golden CSV strings bit-exact
+    # (numpy's SIMD transcendentals can differ in the last ulp)
+    ani_q_l = [_ani(c, k3) for c in cont_l]
+    ani_t_l = [_ani(c, k3) for c in ctq_l]
+    inter_l = js.seg_n[kept].tolist()
+    jac_l = jaccard[kept].tolist()
+    mean_l = mean[kept].tolist()
+    med_l = median[kept].tolist()
+    std_l = std[kept].tolist()
+    wt_l = weighted[kept].tolist()
+    tw_l = tw[kept].tolist()
+    fw_l = f_weighted[kept].tolist()
+    qnames, tnames = query.names, target.names
+    return [
+        {
+            "query_name": qnames[qi],
+            "query_md5": q_md5[qi],
+            "match_name": tnames[tj],
+            "containment": cont,
+            "intersect_hashes": inter,
+            "ksize": k3,
+            "scaled": scaled,
+            "moltype": moltype,
+            "match_md5": t_md5[tj],
+            "jaccard": jac,
+            "max_containment": cont if cont >= ctq else ctq,
+            "average_abund": avg,
+            "median_abund": med,
+            "std_abund": std_,
+            "query_containment_ani": ani_q,
+            "match_containment_ani": ani_t,
+            "average_containment_ani": (ani_q + ani_t) / 2.0,
+            "max_containment_ani": ani_q if ani_q >= ani_t else ani_t,
+            "n_weighted_found": wt,
+            "total_weighted_hashes": tw_,
+            "containment_target_in_query": ctq,
+            "f_weighted_target_in_query": fw,
+        }
+        for qi, tj, cont, ctq, ani_q, ani_t, inter, jac, avg, med, std_, wt, tw_, fw in zip(
+            sq, st, cont_l, ctq_l, ani_q_l, ani_t_l, inter_l, jac_l,
+            mean_l, med_l, std_l, wt_l, tw_l, fw_l,
+        )
+    ]
 
 
 def multisearch(
@@ -211,7 +335,7 @@ def multisearch(
     """Pairwise scoring with database-frequency statistics
     (do_multisearch variant, search.py:144-158 — available but unused
     by the reference CLI)."""
-    n, _w = _device_pair_stats(query, target)
+    n, w = _device_pair_stats(query, target)
     k3 = minhash_ksize(query.config.ksize)
 
     # database hash statistics over the target sketches (vectorized:
@@ -226,70 +350,93 @@ def multisearch(
     n_targets = len(target)
     n_comparisons = float(len(query) * n_targets)
 
-    hit_q, hit_t = np.nonzero(n > 0)
-    q_md5 = {int(i): query.signature(int(i)).md5sum for i in set(hit_q.tolist())}
-    t_md5 = {int(j): target.signature(int(j)).md5sum for j in set(hit_t.tolist())}
+    # flat join, tuples ordered by hash within each (query, target)
+    # segment — the reference sums probability terms per ascending hash
+    js = _host_join(query, target, inner="hash")
+    if js.total == 0:
+        return []
+    weighted = np.add.reduceat(js.pab, js.starts)
+    _validate_device_stats(n, w, js, weighted)
+
+    q_sizes = np.diff(query.offsets)
+    t_sizes = np.diff(target.offsets)
+    sum_q_ab = np.add.reduceat(
+        np.append(query.abundances, 0), query.offsets[:-1]
+    ).astype(np.float64)
+
+    # per-tuple tf / probability / tf-idf terms, reduced per segment
+    tup_hash = query.mins[js.qhash]
+    dbpos = np.searchsorted(db_hashes, tup_hash)
+    tf = query.abundances[js.qhash].astype(np.float64) / sum_q_ab[js.seg_q[js.seg_id]]
+    prob = np.add.reduceat(tf * (db_ab_arr[dbpos] / sum_db_ab), js.starts)
+    tfidf = np.add.reduceat(
+        tf * (1.0 + np.log((1.0 + n_targets) / (1.0 + df_arr[dbpos]))), js.starts
+    )
+
+    qs = q_sizes[js.seg_q]
+    ts = t_sizes[js.seg_t]
+    containment = js.seg_n / qs
+    keep = containment >= threshold
+    c_tq = js.seg_n / ts
+    jaccard = js.seg_n / (qs + ts - js.seg_n)
+
+    q_md5 = {
+        int(i): query.signature(int(i)).md5sum
+        for i in np.unique(js.seg_q[keep]).tolist()
+    }
+    t_md5 = {
+        int(j): target.signature(int(j)).md5sum
+        for j in np.unique(js.seg_t[keep]).tolist()
+    }
+    qn = np.asarray(query.names, dtype=object)
+    tn = np.asarray(target.names, dtype=object)
+    kept = np.flatnonzero(keep)
+    kept = kept[
+        np.lexsort(
+            (
+                np.asarray(target.names)[js.seg_t[kept]],
+                np.asarray(query.names)[js.seg_q[kept]],
+            )
+        )
+    ]
 
     rows: List[Dict] = []
-    for qi, tj in zip(hit_q.tolist(), hit_t.tolist()):
-        qo0, qo1 = query.offsets[qi], query.offsets[qi + 1]
-        q_mins = query.mins[qo0:qo1]
-        q_ab = query.abundances[qo0:qo1]
-        sum_q_ab = float(q_ab.sum())
-        qs = len(q_mins)
-        inter = int(n[qi, tj])
-        to0, to1 = target.offsets[tj], target.offsets[tj + 1]
-        t_mins = target.mins[to0:to1]
-        ts = len(t_mins)
-        containment = inter / qs
-        if containment < threshold:
-            continue
-        c_tq = inter / ts
-        union = qs + ts - inter
-        common, qpos, _tpos = np.intersect1d(
-            q_mins, t_mins, assume_unique=True, return_indices=True
-        )
-        dbpos = np.searchsorted(db_hashes, common)
-        tf = q_ab[qpos].astype(np.float64) / sum_q_ab
-        prob = float((tf * (db_ab_arr[dbpos] / sum_db_ab)).sum())
-        tfidf = float(
-            (
-                tf
-                * (1.0 + np.log((1.0 + n_targets) / (1.0 + df_arr[dbpos])))
-            ).sum()
-        )
+    for r in kept.tolist():
+        qi, tj = int(js.seg_q[r]), int(js.seg_t[r])
+        cont = float(containment[r])
+        ctq = float(c_tq[r])
         row = {
-            "query_name": query.names[qi],
+            "query_name": qn[qi],
             "query_md5": q_md5[qi],
-            "match_name": target.names[tj],
+            "match_name": tn[tj],
             "match_md5": t_md5[tj],
-            "containment": containment,
-            "max_containment": max(containment, c_tq),
-            "jaccard": inter / union if union else 0.0,
-            "intersect_hashes": float(inter),
+            "containment": cont,
+            "max_containment": max(cont, ctq),
+            "jaccard": float(jaccard[r]),
+            "intersect_hashes": float(js.seg_n[r]),
             "ksize": k3,
             "scaled": query.config.scaled,
             "moltype": query.config.moltype,
         }
         if estimate_prob_overlap:
-            prob_adj = prob * n_comparisons
+            p = float(prob[r])
+            prob_adj = p * n_comparisons
             row.update(
                 {
-                    "prob_overlap": prob,
+                    "prob_overlap": p,
                     "prob_overlap_adjusted": prob_adj,
                     "containment_adjusted": (
-                        containment / prob_adj if prob_adj else 0.0
+                        cont / prob_adj if prob_adj else 0.0
                     ),
                     "containment_adjusted_log10": (
-                        math.log10(containment / prob_adj)
-                        if prob_adj and containment > 0
+                        math.log10(cont / prob_adj)
+                        if prob_adj and cont > 0
                         else 0.0
                     ),
-                    "tf_idf_score": tfidf,
+                    "tf_idf_score": float(tfidf[r]),
                 }
             )
         rows.append(row)
-    rows.sort(key=lambda r: (r["query_name"], r["match_name"]))
     return rows
 
 

@@ -43,6 +43,12 @@ class InvertedIndex(NamedTuple):
     n_targets: int
     max_run: int  # longest run of equal hashes (max document frequency)
 
+    def g64(self) -> np.ndarray:
+        """Sorted uint64 posting hashes (host searchsorted joins)."""
+        return (self.g_hi.astype(np.uint64) << np.uint64(32)) | self.g_lo.astype(
+            np.uint64
+        )
+
 
 def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndarray) -> InvertedIndex:
     """Build from a ProteomeIndex's CSR arrays (host, numpy)."""
@@ -134,8 +140,15 @@ def inverted_pair_stats(
 
 
 def inverted_search(index, q_hi, q_lo, q_valid):
-    """Convenience wrapper: ProteomeIndex + device query block → stats."""
-    inv = build_inverted_np(index.mins, index.abundances, index.offsets)
+    """Convenience wrapper: ProteomeIndex + device query block → stats.
+
+    Reuses the index's cached/persisted posting arrays
+    (``ProteomeIndex.inverted``) — a loaded ``.ksx`` never re-argsorts
+    its postings (branchwater ``do_index`` build-once semantics,
+    /root/reference/src/python/kmerseek/index.py:55-74)."""
+    inv = getattr(index, "inverted", None)
+    if not isinstance(inv, InvertedIndex):
+        inv = build_inverted_np(index.mins, index.abundances, index.offsets)
     if len(inv.g_hi) == 0:  # all-empty target sketches: no matches possible
         Q = np.asarray(q_hi).shape[0]
         z = np.zeros((Q, inv.n_targets), np.int32)

@@ -95,9 +95,9 @@ def test_weighted_and_host_order_stats():
     assert int(s.intersect[0, 0]) == 3
     assert int(s.weighted[0, 0]) == 8  # 5+1+2
 
-    # order statistics now come from the host helper
+    # order statistics now come from the vectorized host join
     from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
-    from kmerseek_tpu.core.search import _intersect_abundances
+    from kmerseek_tpu.core.search import _host_join
     from kmerseek_tpu.core.signature import Signature
 
     def mk_index(mins, abund):
@@ -117,6 +117,9 @@ def test_weighted_and_host_order_stats():
 
     qi = mk_index(q[0], [1, 1, 1, 1])
     ti = mk_index(t[0], ab[0])
-    vec = _intersect_abundances(qi, ti, 0, 0)
-    assert sorted(vec.tolist()) == [1, 2, 5]
-    assert float(np.median(vec)) == 2.0
+    js = _host_join(qi, ti, inner="ab")
+    assert len(js.seg_n) == 1 and int(js.seg_n[0]) == 3
+    vec = js.pab[js.starts[0] : js.starts[0] + js.seg_n[0]]
+    assert vec.tolist() == [1, 2, 5]  # ascending — segmented median works
+    mid = js.starts[0] + (js.seg_n[0] - 1) // 2
+    assert float(js.pab[mid]) == 2.0

@@ -187,6 +187,72 @@ def test_self_search_identity(ced9_vs_bcl2):
         assert r["query_containment_ani"] == 1.0
 
 
+def test_loaded_index_reuses_persisted_inverted(ced9_vs_bcl2, tmp_path, monkeypatch):
+    """A .ksx saved index persists its inverted posting arrays; searching
+    a loaded index must never re-argsort them (branchwater do_index
+    build-once revindex semantics, reference index.py:55-74)."""
+    import kmerseek_tpu.ops.inverted as invmod
+
+    query, target = ced9_vs_bcl2
+    fresh_rows = manysearch(query, target)
+    path = str(tmp_path / "t.ksx")
+    target.save(path)
+    loaded = ProteomeIndex.load(path)
+    assert loaded._inverted is not None  # persisted, not lazily rebuilt
+
+    calls = []
+    real = invmod.build_inverted_np
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(invmod, "build_inverted_np", counting)
+    rows = manysearch(query, loaded)
+    assert calls == []  # posting arrays came from disk — no rebuild
+    assert rows == fresh_rows
+
+
+def test_manysearch_scale_synthetic():
+    """20k targets x 1k queries at threshold 0 completes in <10 s host
+    time (the vectorized-join scale criterion): per-hit-row Python work
+    would take minutes here."""
+    import time
+
+    rng = np.random.default_rng(7)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=100_000, replace=False).astype(np.uint64)
+    )
+
+    def make(n_rows, row_len, seed):
+        r = np.random.default_rng(seed)
+        ids = np.sort(r.integers(0, len(pool), size=(n_rows, row_len)), axis=1)
+        keep = np.ones_like(ids, bool)
+        keep[:, 1:] = ids[:, 1:] != ids[:, :-1]  # dedup within a row
+        counts = keep.sum(axis=1)
+        mins = pool[ids[keep]]
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        ab = np.ones(len(mins), np.int64)
+        names = [f"p{i:06d}" for i in range(n_rows)]
+        cfg = IndexConfig(16, 5, "hp")
+        return ProteomeIndex(cfg, names, mins, ab, offsets)
+
+    target = make(20_000, 50, 1)
+    query = make(1_000, 50, 2)
+    t0 = time.perf_counter()
+    rows = manysearch(query, target, threshold=0.0)
+    dt = time.perf_counter() - t0
+    assert len(rows) > 100_000  # dense hit set — the hard case
+    assert dt < 10.0, f"manysearch took {dt:.1f}s"
+    # spot-check one row against a direct intersection
+    r = rows[len(rows) // 2]
+    qi = query.names.index(r["query_name"])
+    tj = target.names.index(r["match_name"])
+    qm = query.mins[query.offsets[qi] : query.offsets[qi + 1]]
+    tm = target.mins[target.offsets[tj] : target.offsets[tj + 1]]
+    assert r["intersect_hashes"] == len(np.intersect1d(qm, tm))
+
+
 def test_param_mismatch_raises(ced9_vs_bcl2):
     query, target = ced9_vs_bcl2
     other = ProteomeIndex.from_signatures(
