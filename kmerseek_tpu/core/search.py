@@ -173,29 +173,66 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     )
 
 
-def _validate_device_stats(n, w, js: _JoinSegments, weighted, sample: int = 64):
-    """Cross-check the device engine against the host join.
+# above this many dense (Q, T) cells the validation engine switches to
+# the sparse hit-list kernel (ops.sparse_search) — the dense matrices
+# would dominate memory at UniProt scale
+_DENSE_VALIDATE_LIMIT = 32 * 1024 * 1024
+
+
+def _validate_with_device(query, target, js: _JoinSegments, weighted, sample: int = 64):
+    """Cross-check the host join against the device search engine.
 
     Structural checks are full (hit-pair count and total intersection
     size); per-pair values are sampled. Weighted sums are only compared
     where they fit the device's int32 accumulator — the host's int64
     sums are authoritative for high-abundance corpora. Raises a
-    descriptive error instead of a bare assert (survives ``python -O``)."""
-    if int(np.count_nonzero(n)) != len(js.seg_n) or int(n.sum()) != js.total:
-        raise RuntimeError(
-            "device/host search disagreement: inverted-index engine found "
-            f"{int(np.count_nonzero(n))} hit pairs / {int(n.sum())} shared "
-            f"hashes, host join found {len(js.seg_n)} / {js.total}"
-        )
+    descriptive error instead of a bare assert (survives ``python -O``).
+
+    Engine choice: the dense inverted engine while Q·T is small, the
+    bounded sparse hit-list engine beyond (no (Q, T) materialization)."""
     rng = np.random.default_rng(0)
     take = rng.choice(len(js.seg_n), size=min(sample, len(js.seg_n)), replace=False)
     sq, st = js.seg_q[take], js.seg_t[take]
-    if not np.array_equal(n[sq, st], js.seg_n[take]):
+    ok = weighted[take] < 2**31
+    if len(query) * len(target) <= _DENSE_VALIDATE_LIMIT:
+        n, w = _device_pair_stats(query, target)
+        if int(np.count_nonzero(n)) != len(js.seg_n) or int(n.sum()) != js.total:
+            raise RuntimeError(
+                "device/host search disagreement: inverted-index engine found "
+                f"{int(np.count_nonzero(n))} hit pairs / {int(n.sum())} shared "
+                f"hashes, host join found {len(js.seg_n)} / {js.total}"
+            )
+        count_ok = np.array_equal(n[sq, st], js.seg_n[take])
+        weight_ok = np.array_equal(w[sq[ok], st[ok]], weighted[take][ok])
+    else:
+        import jax.numpy as jnp
+
+        from ..ops.sparse_search import sparse_search
+
+        q_hi, q_lo, _q_ab, _qc = query.dense_device_arrays()
+        q_valid = jnp.asarray(
+            np.arange(q_hi.shape[1])[None, :] < query.counts[:, None]
+        )
+        hits = sparse_search(
+            target, q_hi, q_lo, q_valid, capacity=len(js.seg_n) + 128
+        )
+        if hits.n_hits != len(js.seg_n):
+            raise RuntimeError(
+                "device/host search disagreement: sparse engine found "
+                f"{hits.n_hits} hit pairs, host join found {len(js.seg_n)}"
+            )
+        # both sides are (q, t)-ascending → direct array comparison
+        count_ok = (
+            np.array_equal(hits.q, js.seg_q)
+            and np.array_equal(hits.t, js.seg_t)
+            and np.array_equal(hits.count, js.seg_n)
+        )
+        weight_ok = np.array_equal(hits.weight[take][ok], weighted[take][ok])
+    if not count_ok:
         raise RuntimeError(
             "device/host search disagreement on sampled intersect counts"
         )
-    ok = weighted[take] < 2**31
-    if not np.array_equal(w[sq[ok], st[ok]], weighted[take][ok]):
+    if not weight_ok:
         raise RuntimeError(
             "device/host search disagreement on sampled weighted sums"
         )
@@ -220,7 +257,6 @@ def manysearch(
         target.config.moltype,
     ):
         raise ValueError("query/target sketch parameters differ")
-    n, w = _device_pair_stats(query, target)
     k3 = minhash_ksize(query.config.ksize)
     scaled = query.config.scaled
     moltype = query.config.moltype
@@ -237,7 +273,7 @@ def manysearch(
     # segmented statistics over the target abundances of each pair's
     # intersection (tuples within a segment are sorted by abundance)
     weighted = np.add.reduceat(js.pab, js.starts)  # int64 — no overflow
-    _validate_device_stats(n, w, js, weighted)
+    _validate_with_device(query, target, js, weighted)
     mean = weighted / js.seg_n
     dev = js.pab.astype(np.float64) - mean[js.seg_id]
     std = np.sqrt(np.add.reduceat(dev * dev, js.starts) / js.seg_n)
@@ -335,7 +371,6 @@ def multisearch(
     """Pairwise scoring with database-frequency statistics
     (do_multisearch variant, search.py:144-158 — available but unused
     by the reference CLI)."""
-    n, w = _device_pair_stats(query, target)
     k3 = minhash_ksize(query.config.ksize)
 
     # database hash statistics over the target sketches (vectorized:
@@ -356,7 +391,7 @@ def multisearch(
     if js.total == 0:
         return []
     weighted = np.add.reduceat(js.pab, js.starts)
-    _validate_device_stats(n, w, js, weighted)
+    _validate_with_device(query, target, js, weighted)
 
     q_sizes = np.diff(query.offsets)
     t_sizes = np.diff(target.offsets)

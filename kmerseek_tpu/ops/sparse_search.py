@@ -1,0 +1,156 @@
+"""Sparse hit-list search: bounded (query, target, count, weight) output.
+
+The dense inverted engine (``ops.inverted``) scatter-adds into (Q, T)
+count/weight matrices — perfect while Q·T fits HBM, but a UniProt-scale
+index (BASELINE.json configs 4-5, T ~ 10^6) with a 1k-query block would
+materialize multi-GB matrices for a hit set that is overwhelmingly
+sparse.
+
+This engine rethinks branchwater's per-pair hit accumulation
+(do_manysearch, SURVEY.md §2.5) as a sort-segment pipeline — the same
+scatter-free recipe as the sketch stage (``ops.sketch``), because on
+TPU sort runs ~300M elts/s while scatter crawls at ~50M updates/s:
+
+1. every query hash binary-searches the globally sorted posting array
+   once (``_global_lower_bound``), exactly like the dense engine;
+2. the ≤ ``max_run`` postings of each run expand to (q, t, abundance)
+   tuples — a (max_run, Q, S) block, **independent of T**;
+3. one ``lax.sort`` with two int32 keys groups equal (q, t) pairs into
+   runs (non-matches carry a q = Q sentinel and sink to the end);
+4. run heads are detected by comparing neighbours, prefix-summed into
+   dense segment slots, and the per-pair count/weight reductions
+   scatter into a **bounded** ``capacity``-slot output buffer
+   (``mode="drop"`` — overflow pairs fall off and are reported via
+   ``n_hits`` so callers can retry with a larger capacity).
+
+Memory: O(Q·S·max_run + capacity). The dense engine stays preferable
+when max_run·S ≫ T; ``core.search`` picks per call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inverted import InvertedIndex, _global_lower_bound, build_inverted_np
+
+
+class SparseHits(NamedTuple):
+    """Host-side trimmed hit list."""
+
+    q: np.ndarray  # (H,) int32 query row of each hit pair
+    t: np.ndarray  # (H,) int32 target id
+    count: np.ndarray  # (H,) int32 shared-hash count
+    weight: np.ndarray  # (H,) int64 summed target abundance
+    n_hits: int  # true number of hit pairs (may exceed H on overflow)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_targets", "max_run", "capacity")
+)
+def inverted_sparse_hits(
+    g_hi,
+    g_lo,
+    tid,
+    ab,
+    q_hi,
+    q_lo,
+    q_valid,
+    *,
+    n_targets: int,
+    max_run: int,
+    capacity: int,
+):
+    """Device kernel: bounded sparse (q, t, count, weight) hit list.
+
+    Returns (q_out, t_out, count_out, weight_out, n_hits) with the
+    first ``min(n_hits, capacity)`` slots populated in (q, t) ascending
+    order; slots beyond the hit count hold q = Q sentinels.
+    """
+    Q, S = q_hi.shape
+    N = g_hi.shape[0]
+    pos = _global_lower_bound(g_hi, g_lo, q_hi, q_lo)
+
+    # expand runs: (max_run, Q, S) match tuples
+    r = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 0)
+    p = pos[None, :, :] + r
+    idx = jnp.minimum(p, N - 1)
+    mh = jnp.take(g_hi, idx)
+    ml = jnp.take(g_lo, idx)
+    match = q_valid[None] & (mh == q_hi[None]) & (ml == q_lo[None]) & (p < N)
+    t = jnp.where(match, jnp.take(tid, idx), jnp.int32(n_targets))
+    q = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 1)
+    q_key = jnp.where(match, q, jnp.int32(Q))  # sentinel: sinks to end
+    w = jnp.where(match, jnp.take(ab, idx), 0)
+
+    # one lexicographic sort groups equal (q, t) pairs contiguously
+    sq, st, sw = jax.lax.sort(
+        (q_key.reshape(-1), t.reshape(-1), w.reshape(-1)), num_keys=2
+    )
+    valid = sq < Q
+    prev_q = jnp.concatenate([jnp.full((1,), -1, sq.dtype), sq[:-1]])
+    prev_t = jnp.concatenate([jnp.full((1,), -1, st.dtype), st[:-1]])
+    head = valid & ((sq != prev_q) | (st != prev_t))
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # segment slot per tuple
+    n_hits = jnp.sum(head.astype(jnp.int32))
+
+    slot = jnp.where(valid, seg, capacity)  # overflow + invalid: dropped
+    counts = jnp.zeros(capacity, jnp.int32).at[slot].add(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    weights = jnp.zeros(capacity, jnp.int32).at[slot].add(
+        jnp.where(valid, sw, 0), mode="drop"
+    )
+    head_slot = jnp.where(head, seg, capacity)
+    q_out = jnp.full(capacity, Q, jnp.int32).at[head_slot].set(sq, mode="drop")
+    t_out = jnp.full(capacity, n_targets, jnp.int32).at[head_slot].set(
+        st, mode="drop"
+    )
+    return q_out, t_out, counts, weights, n_hits
+
+
+def sparse_search(
+    index, q_hi, q_lo, q_valid, capacity: int | None = None
+) -> SparseHits:
+    """ProteomeIndex + device query block → trimmed sparse hit list.
+
+    ``capacity`` defaults to the worst-case tuple count (every probed
+    posting a distinct pair), rounded up to a lane multiple; pass a
+    tighter bound when the true hit count is known (e.g. from the host
+    join) to shrink the output buffers.
+    """
+    inv = getattr(index, "inverted", None)
+    if not isinstance(inv, InvertedIndex):
+        inv = build_inverted_np(index.mins, index.abundances, index.offsets)
+    Q, S = np.asarray(q_hi).shape
+    if len(inv.g_hi) == 0:
+        z = np.zeros(0, np.int32)
+        return SparseHits(z, z, z, z.astype(np.int64), 0)
+    if capacity is None:
+        capacity = Q * S * inv.max_run
+    capacity = max(((capacity + 127) // 128) * 128, 128)
+    q_out, t_out, counts, weights, n_hits = inverted_sparse_hits(
+        jnp.asarray(inv.g_hi),
+        jnp.asarray(inv.g_lo),
+        jnp.asarray(inv.tid),
+        jnp.asarray(inv.ab),
+        q_hi,
+        q_lo,
+        q_valid,
+        n_targets=inv.n_targets,
+        max_run=inv.max_run,
+        capacity=int(capacity),
+    )
+    n = int(n_hits)
+    h = min(n, int(capacity))
+    return SparseHits(
+        np.asarray(q_out)[:h],
+        np.asarray(t_out)[:h],
+        np.asarray(counts)[:h],
+        np.asarray(weights)[:h].astype(np.int64),
+        n,
+    )

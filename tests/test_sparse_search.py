@@ -1,0 +1,139 @@
+"""Sparse hit-list engine vs the dense inverted engine (bit-equality)
+and the 1M-target scale case that the dense engine cannot hold.
+"""
+
+import numpy as np
+import pytest
+
+from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+from kmerseek_tpu.ops.sparse_search import sparse_search
+
+
+def _mk_index(n_rows, row_len, pool, seed):
+    r = np.random.default_rng(seed)
+    ids = np.sort(r.integers(0, len(pool), size=(n_rows, row_len)), axis=1)
+    keep = np.ones_like(ids, bool)
+    keep[:, 1:] = ids[:, 1:] != ids[:, :-1]
+    counts = keep.sum(axis=1)
+    mins = pool[ids[keep]]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    ab = (r.integers(1, 5, size=len(mins))).astype(np.int64)
+    names = [f"p{i}" for i in range(n_rows)]
+    return ProteomeIndex(IndexConfig(16, 5, "hp"), names, mins, ab, offsets)
+
+
+def _query_block(index):
+    import jax.numpy as jnp
+
+    q_hi, q_lo, _ab, counts = index.dense_device_arrays()
+    S = q_hi.shape[1]
+    q_valid = jnp.asarray(np.arange(S)[None, :] < index.counts[:, None])
+    return q_hi, q_lo, q_valid
+
+
+def _densify(hits, Q, T):
+    n = np.zeros((Q, T), np.int64)
+    w = np.zeros((Q, T), np.int64)
+    n[hits.q, hits.t] = hits.count
+    w[hits.q, hits.t] = hits.weight
+    return n, w
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sparse_matches_dense(seed):
+    from kmerseek_tpu.ops.inverted import inverted_search
+
+    rng = np.random.default_rng(100 + seed)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=400, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(60, 20, pool, seed)
+    query = _mk_index(25, 15, pool, seed + 50)
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    nd, wd = inverted_search(target, q_hi, q_lo, q_valid)
+    nd, wd = np.asarray(nd), np.asarray(wd)
+    hits = sparse_search(target, q_hi, q_lo, q_valid)
+    assert hits.n_hits == int(np.count_nonzero(nd))
+    assert len(hits.q) == hits.n_hits  # default capacity never overflows
+    # (q, t) ascending and unique
+    key = hits.q.astype(np.int64) * len(target) + hits.t
+    assert np.all(np.diff(key) > 0)
+    ns, ws = _densify(hits, len(query), len(target))
+    assert np.array_equal(ns, nd)
+    assert np.array_equal(ws, wd)
+
+
+def test_sparse_overflow_reports_true_count():
+    rng = np.random.default_rng(3)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=100, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(40, 20, pool, 4)
+    query = _mk_index(20, 15, pool, 5)
+    q_hi, q_lo, q_valid = _query_block(query)
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    assert full.n_hits > 128
+    small = sparse_search(target, q_hi, q_lo, q_valid, capacity=128)
+    assert small.n_hits == full.n_hits  # true count still reported
+    assert len(small.q) == 128  # trimmed to capacity
+    # surviving slots are the first 128 pairs, bit-equal
+    assert np.array_equal(small.q, full.q[:128])
+    assert np.array_equal(small.count, full.count[:128])
+
+
+def test_manysearch_sparse_validation_path(monkeypatch):
+    """Forcing the sparse validation engine (as used beyond the dense
+    Q*T limit) must leave manysearch rows identical."""
+    import kmerseek_tpu.core.search as search_mod
+    from kmerseek_tpu.core.search import manysearch
+
+    rng = np.random.default_rng(11)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(50, 20, pool, 6)
+    query = _mk_index(10, 15, pool, 7)
+    dense_rows = manysearch(query, target)
+    monkeypatch.setattr(search_mod, "_DENSE_VALIDATE_LIMIT", 1)
+    sparse_rows = manysearch(query, target)
+    assert sparse_rows == dense_rows
+    assert len(sparse_rows) > 0
+
+
+def test_million_target_index_no_dense_matrix():
+    """1M-target search: dense (Q, T) would be ~1 GB of HBM for 32
+    queries; the sparse engine's footprint is O(Q*S*max_run)."""
+    rng = np.random.default_rng(9)
+    T = 1_000_000
+    # two hashes per target from a huge pool: collisions (max_run) stay
+    # small, postings = 2M
+    mins2 = rng.choice(
+        np.uint64(2) ** 62, size=(T, 2), replace=False
+    ).astype(np.uint64)
+    mins2.sort(axis=1)
+    mins = mins2.reshape(-1)
+    offsets = (np.arange(T + 1, dtype=np.int64)) * 2
+    ab = np.ones(len(mins), np.int64)
+    target = ProteomeIndex(
+        IndexConfig(16, 5, "hp"), [f"t{i}" for i in range(T)], mins, ab, offsets
+    )
+
+    # queries: each holds hashes of known targets → exact expected hits
+    picks = rng.choice(T, size=(32, 8), replace=False)
+    q_mins = np.sort(mins2[picks, 0], axis=1)
+    q_offsets = np.arange(33, dtype=np.int64) * 8
+    query = ProteomeIndex(
+        IndexConfig(16, 5, "hp"),
+        [f"q{i}" for i in range(32)],
+        q_mins.reshape(-1),
+        np.ones(32 * 8, np.int64),
+        q_offsets,
+    )
+    q_hi, q_lo, q_valid = _query_block(query)
+    hits = sparse_search(target, q_hi, q_lo, q_valid)
+    # every planted (query, target) pair must be found with count >= 1
+    expect = {(qi, int(t)) for qi in range(32) for t in picks[qi]}
+    got = set(zip(hits.q.tolist(), hits.t.tolist()))
+    assert expect <= got
+    assert hits.n_hits == len(got)
