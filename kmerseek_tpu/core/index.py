@@ -123,6 +123,56 @@ class IndexConfig:
             )
 
 
+def sketch_batch_signatures(
+    names: List[str],
+    resolved: Sequence[bytes],
+    config: "IndexConfig",
+    *,
+    use_pallas: bool = False,
+    filename: str = "",
+) -> List[Signature]:
+    """Device-sketch one batch of validated sequences into Signatures.
+
+    The shared device stage of `build` and `build_distributed`:
+    fixed-grid packing (bounded recompiles) → fused scatter-free
+    sentinel-sort sketch → host run-length dedup."""
+    import jax.numpy as jnp
+
+    from ..ops.sketch import finalize_sorted_np, sorted_window_hashes
+    from .fasta import pack_fixed_grid
+
+    k, scaled, moltype = config.ksize, config.scaled, config.moltype
+    batch_sigs: List = [None] * len(names)
+    for arr, lens, idxs in pack_fixed_grid(resolved, min_len=max(k + 1, 256)):
+        cap = sketch_capacity(arr.shape[1], k, scaled)
+        cap = max((cap + 127) // 128 * 128, 128)
+        while True:
+            out = sorted_window_hashes(
+                jnp.asarray(arr),
+                jnp.asarray(lens),
+                k=k,
+                scaled=scaled,
+                moltype=moltype,
+                capacity=cap,
+                use_pallas=use_pallas,
+            )
+            if int(np.asarray(out[3]).max(initial=0)) <= cap:
+                break
+            cap *= 2  # rare under-provision: retry with more slots
+        mins_list, ab_list = finalize_sorted_np(*out)
+        for r, i in enumerate(idxs):
+            batch_sigs[i] = Signature(
+                name=names[i],
+                mins=mins_list[r],
+                abundances=ab_list[r],
+                ksize=k,
+                scaled=scaled,
+                moltype=moltype,
+                filename=filename,
+            )
+    return batch_sigs
+
+
 class ProteomeIndex:
     """Sketches + combined minhash + optional k-mer sidecar for one proteome."""
 
@@ -193,55 +243,26 @@ class ProteomeIndex:
         dedup into Signature records. The Pallas kernel is used
         automatically on TPU backends."""
         import jax
-        import jax.numpy as jnp
-        from ..ops.sketch import finalize_sorted_np, sorted_window_hashes
 
         config = config or IndexConfig()
-        k, scaled, moltype = config.ksize, config.scaled, config.moltype
         use_pallas = jax.default_backend() not in ("cpu",)
         signatures: List[Signature] = []
         sequences: List[bytes] = [] if store_raw_sequences else None
         n_done = 0
-        from .fasta import pack_fixed_grid
-
         for records in iter_record_batches(fasta, batch_size):
             names = [r.name for r in records]
             resolved = validate_resolve_batch(
                 [r.seq for r in records], names, policy=ambiguity_policy
             )
-            # fixed-grid shapes: the same (rows, L) programs serve every
-            # batch of the corpus (no per-batch recompiles)
-            batch_sigs: List = [None] * len(records)
-            for arr, lens, idxs in pack_fixed_grid(
-                resolved, min_len=max(k + 1, 256)
-            ):
-                cap = sketch_capacity(arr.shape[1], k, scaled)
-                cap = max((cap + 127) // 128 * 128, 128)
-                while True:
-                    out = sorted_window_hashes(
-                        jnp.asarray(arr),
-                        jnp.asarray(lens),
-                        k=k,
-                        scaled=scaled,
-                        moltype=moltype,
-                        capacity=cap,
-                        use_pallas=use_pallas,
-                    )
-                    if int(np.asarray(out[3]).max(initial=0)) <= cap:
-                        break
-                    cap *= 2  # rare under-provision: retry with more slots
-                mins_list, ab_list = finalize_sorted_np(*out)
-                for r, i in enumerate(idxs):
-                    batch_sigs[i] = Signature(
-                        name=names[i],
-                        mins=mins_list[r],
-                        abundances=ab_list[r],
-                        ksize=k,
-                        scaled=scaled,
-                        moltype=moltype,
-                        filename=os.path.abspath(fasta),
-                    )
-            signatures.extend(batch_sigs)
+            signatures.extend(
+                sketch_batch_signatures(
+                    names,
+                    resolved,
+                    config,
+                    use_pallas=use_pallas,
+                    filename=os.path.abspath(fasta),
+                )
+            )
             if store_raw_sequences:
                 sequences.extend(resolved)
             n_done += len(records)
@@ -251,6 +272,28 @@ class ProteomeIndex:
                 logger.info("processed %d sequences", n_done)
         return cls.from_signatures(
             signatures, config, source_fasta=fasta, sequences=sequences
+        )
+
+    @classmethod
+    def build_distributed(
+        cls,
+        fasta: str,
+        config: Optional["IndexConfig"] = None,
+        *,
+        batch_size: int = 1000,
+        ambiguity_policy: str = "first",
+    ) -> "ProteomeIndex":
+        """Multi-host data-parallel build (parallel.multihost): each
+        process sketches its round-robin record shard locally and the
+        shards are all-gathered — every process returns the identical
+        index, bit-equal to a single-host `build`."""
+        from ..parallel.multihost import build_distributed_index
+
+        return build_distributed_index(
+            fasta,
+            config,
+            batch_size=batch_size,
+            ambiguity_policy=ambiguity_policy,
         )
 
     # ------------------------------------------------------------------

@@ -1,22 +1,31 @@
-"""Multi-host orchestration: process groups + host-sharded ingest.
+"""Multi-host orchestration: process groups + host-sharded index build.
 
 The multi-host story (BASELINE.json north star): each host reads its
 own shard of the FASTA (data-parallel ingest), sketches it on its local
-chips, and owns a hash/target range of the global index; queries are
-broadcast and scored shard-locally (``parallel.dist``). This module
-provides the process-group bootstrap and the deterministic host-shard
-assignment; on one host it degrades to the identity.
+chips, and the per-host signature shards are exchanged so every process
+holds the identical global index (which `parallel.dist` then shards
+over the chip mesh for search). The reference is single-node
+(rayon threads only, SURVEY.md §2.6) — this subsystem has no
+counterpart to port; it is the TPU-native scale-out design.
 
-Multi-chip hardware is not reachable from this environment, so these
-paths are validated structurally (sharding compiles + executes on a
-virtual mesh via ``__graft_entry__.dryrun_multichip``) rather than by
-wall-clock scaling runs.
+Record ownership is **round-robin by record ordinal** everywhere
+(`host_owns_record`): a FASTA stream has no cheap record count, so
+contiguous ranges would need a wasted first pass, and round-robin
+additionally load-balances length-skewed proteomes for free.
+
+Multi-chip/multi-process hardware is not reachable from this
+environment, so the exchange is validated structurally: the pack/merge
+steps are pure functions tested by simulating several hosts' payloads,
+and `__graft_entry__.dryrun_multichip` pushes a real fixture through
+`build_distributed` + the sharded search path on a virtual mesh.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
+
+import numpy as np
 
 
 def initialize_distributed(
@@ -38,15 +47,10 @@ def initialize_distributed(
     return jax.process_index(), jax.process_count()
 
 
-def host_record_shard(
-    n_records: int, process_index: int, process_count: int
-) -> range:
-    """Contiguous record range owned by this host (balanced ±1)."""
-    base = n_records // process_count
-    extra = n_records % process_count
-    start = process_index * base + min(process_index, extra)
-    size = base + (1 if process_index < extra else 0)
-    return range(start, start + size)
+def host_owns_record(ordinal: int, process_index: int, process_count: int) -> bool:
+    """Round-robin record ownership — the single sharding rule for every
+    multi-host ingest path."""
+    return ordinal % process_count == process_index
 
 
 def iter_host_shard_batches(
@@ -55,15 +59,15 @@ def iter_host_shard_batches(
     process_count: int,
     batch_size: int = 1000,
 ):
-    """Stream only this host's records (round-robin by record ordinal —
-    contiguous ranges would need a two-pass count for a stream)."""
+    """Stream only this host's records, with each record's global
+    ordinal: yields batches of (ordinal, FastaRecord) pairs."""
     from ..core.fasta import iter_fasta
 
     batch = []
     for i, rec in enumerate(iter_fasta(fasta)):
-        if i % process_count != process_index:
+        if not host_owns_record(i, process_index, process_count):
             continue
-        batch.append(rec)
+        batch.append((i, rec))
         if len(batch) >= batch_size:
             yield batch
             batch = []
@@ -78,3 +82,143 @@ def hash_range_for_shard(shard: int, n_shards: int) -> Tuple[int, int]:
     lo = shard * width
     hi = (shard + 1) * width if shard < n_shards - 1 else 1 << 64
     return lo, hi
+
+
+# ----------------------------------------------------------------------
+# signature-shard exchange: pack each host's sketches into flat arrays,
+# all-gather, merge back in global record order. Pure functions so the
+# multi-host merge is testable without a process group.
+# ----------------------------------------------------------------------
+
+
+def pack_local_shard(ordinals: List[int], signatures) -> dict:
+    """Flatten one host's (ordinal, Signature) shard into numpy arrays
+    (the only types a cross-host allgather can move)."""
+    name_bytes = [s.name.encode("utf-8") for s in signatures]
+    name_off = np.zeros(len(name_bytes) + 1, np.int64)
+    for i, b in enumerate(name_bytes):
+        name_off[i + 1] = name_off[i] + len(b)
+    sk_off = np.zeros(len(signatures) + 1, np.int64)
+    for i, s in enumerate(signatures):
+        sk_off[i + 1] = sk_off[i] + len(s.mins)
+    return {
+        "ordinals": np.asarray(ordinals, np.int64),
+        "names": np.frombuffer(b"".join(name_bytes), np.uint8).copy(),
+        "name_offsets": name_off,
+        "mins": (
+            np.concatenate([s.mins for s in signatures])
+            if signatures
+            else np.zeros(0, np.uint64)
+        ),
+        "abundances": (
+            np.concatenate([s.abundances for s in signatures])
+            if signatures
+            else np.zeros(0, np.int64)
+        ),
+        "sketch_offsets": sk_off,
+    }
+
+
+def merge_shards(payloads: List[dict], config, source_fasta: str = ""):
+    """Merge every host's packed shard into one ProteomeIndex in global
+    record order (inverse of the round-robin split — bit-identical to a
+    single-host build)."""
+    from ..core.index import ProteomeIndex
+    from ..core.signature import Signature
+
+    entries = []
+    for p in payloads:
+        names_blob = p["names"].tobytes()
+        no, so = p["name_offsets"], p["sketch_offsets"]
+        for i, ordinal in enumerate(p["ordinals"].tolist()):
+            entries.append(
+                (
+                    ordinal,
+                    Signature(
+                        name=names_blob[no[i] : no[i + 1]].decode("utf-8"),
+                        mins=p["mins"][so[i] : so[i + 1]],
+                        abundances=p["abundances"][so[i] : so[i + 1]],
+                        ksize=config.ksize,
+                        scaled=config.scaled,
+                        moltype=config.moltype,
+                        filename=source_fasta,
+                    ),
+                )
+            )
+    entries.sort(key=lambda e: e[0])
+    if [e[0] for e in entries] != list(range(len(entries))):
+        raise RuntimeError(
+            "multi-host merge: record ordinals are not a dense 0..N-1 "
+            "range — a host shard is missing or duplicated"
+        )
+    return ProteomeIndex.from_signatures(
+        [e[1] for e in entries], config, source_fasta=source_fasta
+    )
+
+
+def _allgather_payloads(local: dict) -> List[dict]:
+    """Exchange packed shards across the process group.
+
+    Variable-length arrays are moved with one size-allgather followed by
+    per-field padded allgathers (jax.experimental.multihost_utils)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return [local]
+    from jax.experimental import multihost_utils as mhu
+
+    keys = sorted(local)
+    sizes = np.asarray([len(local[k]) for k in keys], np.int64)
+    all_sizes = np.asarray(mhu.process_allgather(sizes))  # (P, K)
+    payloads: List[dict] = [dict() for _ in range(all_sizes.shape[0])]
+    for ki, k in enumerate(keys):
+        width = int(all_sizes[:, ki].max())
+        padded = np.zeros(width, local[k].dtype)
+        padded[: len(local[k])] = local[k]
+        gathered = np.asarray(mhu.process_allgather(padded))  # (P, width)
+        for pi in range(all_sizes.shape[0]):
+            payloads[pi][k] = gathered[pi, : int(all_sizes[pi, ki])]
+    return payloads
+
+
+def build_distributed_index(
+    fasta: str,
+    config=None,
+    *,
+    batch_size: int = 1000,
+    ambiguity_policy: str = "first",
+):
+    """Multi-host data-parallel index build — the one entry point.
+
+    Each process streams its round-robin record shard, sketches it on
+    its local devices, and the shards are all-gathered so every process
+    returns the identical full ProteomeIndex (bit-equal to a
+    single-host `ProteomeIndex.build`). On one process this degrades to
+    the plain build path with zero communication."""
+    import jax
+
+    from ..core.alphabet import validate_resolve_batch
+    from ..core.index import IndexConfig, sketch_batch_signatures
+
+    config = config or IndexConfig()
+    pidx, pcount = initialize_distributed()
+    use_pallas = jax.default_backend() not in ("cpu",)
+    ordinals: List[int] = []
+    signatures = []
+    for batch in iter_host_shard_batches(fasta, pidx, pcount, batch_size):
+        names = [r.name for _o, r in batch]
+        resolved = validate_resolve_batch(
+            [r.seq for _o, r in batch], names, policy=ambiguity_policy
+        )
+        signatures.extend(
+            sketch_batch_signatures(
+                names,
+                resolved,
+                config,
+                use_pallas=use_pallas,
+                filename=os.path.abspath(fasta),
+            )
+        )
+        ordinals.extend(o for o, _r in batch)
+    payloads = _allgather_payloads(pack_local_shard(ordinals, signatures))
+    return merge_shards(payloads, config, source_fasta=fasta)

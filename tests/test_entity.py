@@ -100,12 +100,15 @@ def test_stitch_negative_delta_matches_reference_slice():
 def test_multihost_sharding_helpers():
     from kmerseek_tpu.parallel.multihost import (
         hash_range_for_shard,
-        host_record_shard,
+        host_owns_record,
     )
 
-    ranges = [host_record_shard(10, i, 3) for i in range(3)]
-    assert [len(r) for r in ranges] == [4, 3, 3]
-    assert sorted(x for r in ranges for x in r) == list(range(10))
+    # round-robin: every record owned by exactly one of 3 hosts
+    owners = [
+        [p for p in range(3) if host_owns_record(i, p, 3)] for i in range(10)
+    ]
+    assert all(len(o) == 1 for o in owners)
+    assert [o[0] for o in owners] == [0, 1, 2, 0, 1, 2, 0, 1, 2, 0]
 
     lo0, hi0 = hash_range_for_shard(0, 4)
     lo3, hi3 = hash_range_for_shard(3, 4)
@@ -116,11 +119,11 @@ def test_multihost_sharding_helpers():
 def test_iter_host_shard_batches(local_fasta):
     from kmerseek_tpu.parallel.multihost import iter_host_shard_batches
 
-    all_names = []
+    seen = []
     for pid in range(2):
         for batch in iter_host_shard_batches(local_fasta, pid, 2):
-            all_names.extend(r.name for r in batch)
-    assert sorted(all_names) == ["p1", "p2"]
+            seen.extend((o, r.name) for o, r in batch)
+    assert sorted(seen) == [(0, "p1"), (1, "p2")]
 
 
 def test_fasta_compression_variants(tmp_path):
