@@ -17,7 +17,7 @@ def __getattr__(name):
         from .core import index as _index
 
         return getattr(_index, name)
-    if name in ("manysearch", "multisearch"):
+    if name in ("manysearch", "multisearch", "do_manysearch", "do_multisearch"):
         from .core import search as _search
 
         return getattr(_search, name)

@@ -9,7 +9,6 @@ is the TPU engine instead of sourmash/branchwater FFI.
 
 from __future__ import annotations
 
-import os
 import sys
 
 import click
@@ -18,7 +17,6 @@ from .core.entity import KmerseekIndex, KmerseekQuery
 from .core.search import (
     MANYSEARCH_COLUMNS,
     manysearch,
-    rows_to_csv,
     write_search_csv,
 )
 from .core.stitch import stitch_results, stitched_to_csv

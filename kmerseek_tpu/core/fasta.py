@@ -17,7 +17,6 @@ import bz2
 import gzip
 import io
 import lzma
-import os
 import sys
 from dataclasses import dataclass
 from typing import Iterator, List, Sequence, Tuple

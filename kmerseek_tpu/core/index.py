@@ -231,9 +231,9 @@ class ProteomeIndex:
         fasta: str,
         config: Optional[IndexConfig] = None,
         *,
-        batch_size: int = 1000,
+        batch_size: Optional[int] = None,
         store_raw_sequences: bool = False,
-        progress_interval: int = 0,
+        progress_interval: Optional[int] = None,
         ambiguity_policy: str = "first",
     ) -> "ProteomeIndex":
         """Sketch every record of ``fasta`` on the accelerator.
@@ -244,7 +244,16 @@ class ProteomeIndex:
         automatically on TPU backends."""
         import jax
 
+        from ..utils.config import get_default_performance_config
+
         config = config or IndexConfig()
+        perf = get_default_performance_config()
+        if batch_size is None:
+            batch_size = perf.batch_size
+        if progress_interval is None:
+            # progress logging only when metrics are opted into — the CLI
+            # stderr contract stays byte-stable by default
+            progress_interval = perf.progress_interval if perf.enable_metrics else 0
         use_pallas = jax.default_backend() not in ("cpu",)
         signatures: List[Signature] = []
         sequences: List[bytes] = [] if store_raw_sequences else None

@@ -475,6 +475,57 @@ def multisearch(
     return rows
 
 
+def _as_index(obj) -> ProteomeIndex:
+    """Accept a ProteomeIndex, a .sig.zip path, or an entity with a
+    ``.sig`` product path (the reference passes entities)."""
+    if isinstance(obj, ProteomeIndex):
+        return obj
+    if hasattr(obj, "sig"):
+        obj = obj.sig
+    return ProteomeIndex.from_sig_zip(str(obj))
+
+
+def do_manysearch(query, target, output, ksize=None, scaled=None, moltype=None):
+    """File-level manysearch: query/target .sig.zip (or entities) → CSV.
+
+    Argument order mirrors the reference's ``do_manysearch(query,
+    target, output, ksize, scaled, moltype)``
+    (/root/reference/src/python/kmerseek/search.py:125-141); threshold
+    is 0 to show all matches, even with only 1 k-mer. The ksize/scaled/
+    moltype arguments are validated against the archives (which carry
+    their own sketch parameters)."""
+    q, t = _as_index(query), _as_index(target)
+    _check_requested_params(q, ksize, scaled, moltype)
+    rows = manysearch(q, t, threshold=0.0)
+    write_search_csv(rows, MANYSEARCH_COLUMNS, output)
+    return rows
+
+
+def do_multisearch(query, target, output, moltype=None, ksize=None, scaled=None):
+    """File-level multisearch with probability-of-overlap scoring.
+
+    Mirrors ``do_multisearch(query, target, output, moltype, ksize,
+    scaled)`` (/root/reference/src/python/kmerseek/search.py:144-158);
+    threshold 0, prob_overlap estimated."""
+    q, t = _as_index(query), _as_index(target)
+    _check_requested_params(q, ksize, scaled, moltype)
+    rows = multisearch(q, t, threshold=0.0, estimate_prob_overlap=True)
+    write_search_csv(rows, MULTISEARCH_COLUMNS, output)
+    return rows
+
+
+def _check_requested_params(index: ProteomeIndex, ksize, scaled, moltype):
+    got = index.config
+    if ksize is not None and ksize != got.ksize:
+        raise ValueError(f"requested ksize {ksize}, archive has {got.ksize}")
+    if scaled is not None and scaled != got.scaled:
+        raise ValueError(f"requested scaled {scaled}, archive has {got.scaled}")
+    if moltype is not None and moltype != got.moltype:
+        raise ValueError(
+            f"requested moltype {moltype}, archive has {got.moltype}"
+        )
+
+
 def _format_value(v) -> str:
     if isinstance(v, float):
         return repr(v)

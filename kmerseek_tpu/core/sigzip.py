@@ -71,7 +71,15 @@ def write_sig_zip(path: str, signatures: List[Signature]) -> str:
                     "version": 0.4,
                 }
             ]
-            z.writestr(internal, gzip.compress(json.dumps(payload).encode()))
+            # byte-fidelity with sourmash-written archives: compact JSON
+            # separators (serde_json style), gzip mtime 0, and the zip
+            # epoch (1980-01-01) member date — the whole archive is
+            # deterministic and the decompressed payloads byte-match the
+            # reference's committed *.sig.TRUE.zip fixtures
+            blob = gzip.compress(
+                json.dumps(payload, separators=(",", ":")).encode(), mtime=0
+            )
+            z.writestr(zipfile.ZipInfo(internal), blob)
             manifest_rows.append(
                 [
                     internal,
@@ -88,8 +96,10 @@ def write_sig_zip(path: str, signatures: List[Signature]) -> str:
                 ]
             )
         buf = io.StringIO()
-        buf.write("# SOURMASH-MANIFEST-VERSION: 1.0\r\n")
-        w = csv.writer(buf)
+        # \n line endings throughout (the Rust csv crate's default —
+        # matches the committed sourmash fixtures byte-for-byte)
+        buf.write("# SOURMASH-MANIFEST-VERSION: 1.0\n")
+        w = csv.writer(buf, lineterminator="\n")
         w.writerow(
             [
                 "internal_location",
@@ -107,7 +117,7 @@ def write_sig_zip(path: str, signatures: List[Signature]) -> str:
         )
         for row in manifest_rows:
             w.writerow(row)
-        z.writestr("SOURMASH-MANIFEST.csv", buf.getvalue())
+        z.writestr(zipfile.ZipInfo("SOURMASH-MANIFEST.csv"), buf.getvalue())
     return path
 
 

@@ -26,7 +26,7 @@ report text pinned by /root/reference/tests/test_search.py:103-139.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import pandas as pd
 

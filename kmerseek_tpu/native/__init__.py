@@ -157,14 +157,20 @@ def sketch_cpu(encoded: bytes, k: int, max_hash: int):
 
 
 def sketch_cpu_batch_throughput(
-    encoded_concat: bytes, offsets, k: int, max_hash: int, n_threads: int
+    encoded_concat: bytes, offsets, k: int, max_hash: int, n_threads=None
 ):
     """Multithreaded CPU sketch of a whole corpus; returns (seconds, kmers).
 
     This is the measured CPU baseline standing in for the reference's
     rayon path (Rust toolchain is unavailable in this environment —
-    BASELINE.md)."""
+    BASELINE.md). ``n_threads`` defaults to the process-wide
+    PerformanceConfig's effective thread count."""
     import numpy as np
+
+    if n_threads is None:
+        from ..utils.config import get_default_performance_config
+
+        n_threads = get_default_performance_config().effective_thread_count
 
     lib = _load()
     if lib is None:

@@ -11,7 +11,6 @@ Run: ``python -m kmerseek_tpu.native_cli index --input proteins.fasta``
 
 from __future__ import annotations
 
-import sys
 
 import click
 

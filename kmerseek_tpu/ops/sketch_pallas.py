@@ -31,10 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .encoding import get_encoding_lut, max_hash_for_scaled
-from .murmur3 import MURMUR_SEED, murmur64_windows_from_views
+from .murmur3 import MURMUR_SEED
 from .u64 import U64
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
+# default VMEM budget (headroom under ~16 MB/core) lives in
+# utils.config.PerformanceConfig.vmem_budget_bytes — _pick_block_rows
+# reads the process-wide config
 
 
 def _encode_in_kernel(e32: jnp.ndarray, lut) -> jnp.ndarray:
@@ -181,9 +183,13 @@ def masked_window_keys_pallas(
     return key_hi[:B], key_lo[:B], cnt[:B, 0]
 
 
-def _pick_block_rows(B: int, L: int, k: int) -> int:
+def _pick_block_rows(B: int, L: int, k: int, budget: int | None = None) -> int:
+    if budget is None:
+        from ..utils.config import get_default_performance_config
+
+        budget = get_default_performance_config().vmem_budget_bytes
     per_row = (k + 10) * L * 4
-    tb = max(_VMEM_BUDGET // per_row, 1)
+    tb = max(budget // per_row, 1)
     tb = min(tb, B, 256)
     # favor sublane-aligned blocks
     for cand in (256, 128, 64, 32, 16, 8, 4, 2, 1):

@@ -23,7 +23,7 @@ multi-host slice (``jax.distributed.initialize`` + the same mesh).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -4,15 +4,18 @@
 `effective_thread_count` (config.rs:139-143), and fluent builders
 (config.rs:151-216). Unlike the reference — where these structs were
 declared but largely unwired (SURVEY.md §2.3 #13) — the TPU build
-actually consumes them: batch_size feeds the ingest batching,
-host_threads the native CPU sketcher, and vmem_budget the Pallas block
-picker.
+consumes them through the process-wide default
+(`set_default_performance_config`): `batch_size`/`progress_interval`
+feed `ProteomeIndex.build`'s ingest loop, `host_threads` is the native
+CPU sketcher's thread default (`native.sketch_cpu_batch_throughput`),
+and `vmem_budget_bytes` bounds the Pallas kernel's block picker
+(`ops.sketch_pallas._pick_block_rows`).
 """
 
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 
 @dataclass(frozen=True)
@@ -45,6 +48,21 @@ class MemoryConfig:
         if self.max_memory_mb < 0 or self.kmer_cache_size < 0:
             raise ValueError("memory limits must be non-negative")
         return self
+
+
+# process-wide default consumed by ingest, the native sketcher, and the
+# Pallas block picker; replace it with set_default_performance_config
+_default_perf = PerformanceConfig()
+
+
+def get_default_performance_config() -> PerformanceConfig:
+    return _default_perf
+
+
+def set_default_performance_config(cfg: PerformanceConfig) -> PerformanceConfig:
+    global _default_perf
+    _default_perf = cfg.validate()
+    return _default_perf
 
 
 class PerformanceConfigBuilder:

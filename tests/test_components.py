@@ -48,6 +48,47 @@ def test_performance_config():
         PerformanceConfigBuilder().batch_size(0).build()
 
 
+def test_performance_config_is_consumed(tmp_path, monkeypatch):
+    """The process-wide PerformanceConfig really feeds its consumers:
+    the Pallas block picker's VMEM budget and the ingest batch size."""
+    from kmerseek_tpu.ops.sketch_pallas import _pick_block_rows
+    from kmerseek_tpu.utils.config import (
+        PerformanceConfig,
+        get_default_performance_config,
+        set_default_performance_config,
+    )
+
+    orig = get_default_performance_config()
+    try:
+        big = _pick_block_rows(256, 1024, 24)
+        set_default_performance_config(
+            PerformanceConfig(vmem_budget_bytes=256 * 1024)
+        )
+        small = _pick_block_rows(256, 1024, 24)
+        assert small < big  # tighter budget → smaller blocks
+
+        # batch_size drives the ingest loop: count record batches
+        import kmerseek_tpu.core.index as index_mod
+
+        p = tmp_path / "four.fasta"
+        p.write_text(">a\nMKVLAAN\n>b\nPLANTSS\n>c\nSEVENAA\n>d\nPROTEIN\n")
+        calls = []
+        real = index_mod.iter_record_batches
+
+        def spy(fasta, batch_size):
+            calls.append(batch_size)
+            return real(fasta, batch_size)
+
+        monkeypatch.setattr(index_mod, "iter_record_batches", spy)
+        set_default_performance_config(PerformanceConfig(batch_size=2))
+        index_mod.ProteomeIndex.build(
+            str(p), index_mod.IndexConfig(5, 1, "protein")
+        )
+        assert calls == [2]
+    finally:
+        set_default_performance_config(orig)
+
+
 @pytest.fixture
 def kmer_table():
     return pd.DataFrame(

@@ -2,10 +2,7 @@
 alphabet policies, stitching quirks, multihost sharding helpers."""
 
 import os
-import shutil
 
-import numpy as np
-import pandas as pd
 import pytest
 
 from kmerseek_tpu.core.entity import KmerseekIndex, KmerseekQuery, make_sigfile

@@ -92,8 +92,6 @@ def test_index_config_validation():
 
 def test_mixed_case_and_compression():
     """Mixed-case FASTA is uppercased (index.rs:2847-2934); zst works."""
-    from kmerseek_tpu.core.fasta import read_fasta
-
     path = "/root/reference/tests/testdata/fasta/test_compression.fasta.zst"
     if not os.path.exists(path):
         pytest.skip("fixture missing")
@@ -126,3 +124,45 @@ def test_sig_zip_duplicate_sketches_not_shadowed(tmp_path):
     for s in back:
         assert np.array_equal(s.mins, mins)
         assert np.array_equal(s.abundances, ab)
+
+
+def test_sig_zip_byte_fidelity_vs_sourmash_fixture(tmp_path):
+    """Roundtrip the sourmash-written TRUE.zip: our writer's decompressed
+    member payloads and manifest must byte-match the fixture (member
+    order, JSON key order, compact separators, float formatting), and
+    the archive itself must be deterministic (gzip mtime 0, 1980 zip
+    dates)."""
+    import gzip
+    import pathlib
+    import zipfile
+
+    from kmerseek_tpu.core.sigzip import read_sig_zip, write_sig_zip
+
+    fixture = (
+        "/root/reference/tests/testdata/fasta/"
+        "bcl2_first25_uniprotkb_accession_O43236_OR_accession_2025_02_06"
+        ".fasta.gz.hp.k24.scaled5.sig.TRUE.zip"
+    )
+    if not pathlib.Path(fixture).exists():
+        pytest.skip("reference fixture unavailable")
+    sigs = read_sig_zip(fixture)
+    out = str(tmp_path / "round.sig.zip")
+    write_sig_zip(out, sigs)
+
+    with zipfile.ZipFile(fixture) as zf, zipfile.ZipFile(out) as zo:
+        assert zf.namelist() == zo.namelist()  # member order preserved
+        for name in zf.namelist():
+            a, b = zf.read(name), zo.read(name)
+            if name.endswith(".gz"):
+                a, b = gzip.decompress(a), gzip.decompress(b)
+            assert a == b, f"member {name} differs"
+        for info in zo.infolist():
+            assert info.date_time == (1980, 1, 1, 0, 0, 0)
+            assert info.compress_type == zipfile.ZIP_STORED
+
+    # determinism: a second write is byte-identical
+    out2 = str(tmp_path / "round2.sig.zip")
+    write_sig_zip(out2, sigs)
+    assert (
+        pathlib.Path(out).read_bytes() == pathlib.Path(out2).read_bytes()
+    )

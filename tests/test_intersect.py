@@ -2,7 +2,6 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from kmerseek_tpu.ops import u64
 from kmerseek_tpu.ops.intersect import pairwise_stats

@@ -1,7 +1,5 @@
 """Native C++ library (libkseek) vs the Python/JAX reference paths."""
 
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -16,7 +14,7 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_native_parse_fasta_matches_python(bcl2_first25):
-    from kmerseek_tpu.core.fasta import iter_fasta, open_maybe_compressed
+    from kmerseek_tpu.core.fasta import open_maybe_compressed
 
     # python reference parse (force non-native by reading the stream)
     name = None

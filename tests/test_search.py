@@ -6,7 +6,6 @@ multisearch fixture tests/testdata/index/ced9-bcl2-first25.hp.k16.manysearch.csv
 """
 
 import csv
-import math
 
 import numpy as np
 import pytest
@@ -251,6 +250,32 @@ def test_manysearch_scale_synthetic():
     qm = query.mins[query.offsets[qi] : query.offsets[qi + 1]]
     tm = target.mins[target.offsets[tj] : target.offsets[tj + 1]]
     assert r["intersect_hashes"] == len(np.intersect1d(qm, tm))
+
+
+def test_do_manysearch_do_multisearch_file_api(ced9_vs_bcl2, tmp_path):
+    """Importable file-level API (reference search.py:125-158): .sig.zip
+    in, CSV out, threshold 0."""
+    import kmerseek_tpu
+
+    query, target = ced9_vs_bcl2
+    qz = query.to_sig_zip(str(tmp_path / "q.sig.zip"))
+    tz = target.to_sig_zip(str(tmp_path / "t.sig.zip"))
+
+    out = str(tmp_path / "many.csv")
+    rows = kmerseek_tpu.do_manysearch(qz, tz, out, 16, 5, "hp")
+    assert [r["match_md5"] for r in rows] == [
+        r["match_md5"] for r in manysearch(query, target)
+    ]
+    with open(out) as f:
+        got = list(csv.DictReader(f))
+    assert len(got) == 5
+    assert got[0]["query_md5"] == "fe3714626e8180caf90f78091563aae6"
+
+    out2 = str(tmp_path / "multi.csv")
+    rows2 = kmerseek_tpu.do_multisearch(qz, tz, out2, "hp", 16, 5)
+    assert len(rows2) == 5 and "prob_overlap" in rows2[0]
+    with pytest.raises(ValueError, match="requested ksize"):
+        kmerseek_tpu.do_manysearch(qz, tz, out, 24, 5, "hp")
 
 
 def test_param_mismatch_raises(ced9_vs_bcl2):
