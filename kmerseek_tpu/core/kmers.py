@@ -83,13 +83,9 @@ def extract_kmer_table(
                 jax.device_put(arr, cpu0), jax.device_put(lens, cpu0), k, scaled, moltype
             )
 
-    cols_file: List[str] = []
-    cols_name: List[str] = []
-    cols_kmer: List[str] = []
-    cols_hash: List[int] = []
-    cols_enc: List[str] = []
-    cols_start: List[int] = []
+    from numpy.lib.stride_tricks import sliding_window_view
 
+    chunks: List[pa.Table] = []
     for lo in range(0, len(names), batch_rows):
         chunk_names = names[lo : lo + batch_rows]
         chunk_seqs = resolved_seqs[lo : lo + batch_rows]
@@ -99,30 +95,48 @@ def extract_kmer_table(
         )
         keep_np = np.asarray(keep)
         h64 = u64.join_np(np.asarray(hi), np.asarray(lo_w))
-        for i, name in enumerate(chunk_names):
-            seq = chunk_seqs[i]
-            enc = encode_bytes_np(np.frombuffer(seq, np.uint8), moltype).tobytes()
-            starts = np.flatnonzero(keep_np[i])
-            for s in starts:
-                s = int(s)
-                cols_file.append(sequence_file)
-                cols_name.append(name)
-                cols_kmer.append(seq[s : s + ksize].decode("ascii"))
-                cols_hash.append(int(h64[i, s]))
-                cols_enc.append(enc[s : s + ksize].decode("ascii"))
-                cols_start.append(s)
+        # all surviving (row, window) occurrences at once — window bytes
+        # come from sliding views over the padded byte grid and decode as
+        # fixed-width S<k> columns; no per-window Python
+        rows, starts = np.nonzero(keep_np[:, : arr.shape[1] - ksize + 1])
+        if len(rows) == 0:
+            continue
+        enc_arr = encode_bytes_np(arr, moltype)
+        win = sliding_window_view(arr, ksize, axis=1)
+        enc_win = sliding_window_view(enc_arr, ksize, axis=1)
+        kmers = (
+            np.ascontiguousarray(win[rows, starts])
+            .view(f"S{ksize}")
+            .ravel()
+            .astype(f"U{ksize}")
+        )
+        encs = (
+            np.ascontiguousarray(enc_win[rows, starts])
+            .view(f"S{ksize}")
+            .ravel()
+            .astype(f"U{ksize}")
+        )
+        name_col = np.asarray(chunk_names, dtype=object)[rows]
+        chunks.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(
+                        np.full(len(rows), sequence_file, object),
+                        pa.large_string(),
+                    ),
+                    pa.array(name_col, pa.large_string()),
+                    pa.array(kmers, pa.large_string()),
+                    pa.array(h64[rows, starts], pa.uint64()),
+                    pa.array(encs, pa.large_string()),
+                    pa.array(starts.astype(np.uint32), pa.uint32()),
+                ],
+                schema=KMERS_SCHEMA,
+            )
+        )
 
-    return pa.Table.from_arrays(
-        [
-            pa.array(cols_file, pa.large_string()),
-            pa.array(cols_name, pa.large_string()),
-            pa.array(cols_kmer, pa.large_string()),
-            pa.array(cols_hash, pa.uint64()),
-            pa.array(cols_enc, pa.large_string()),
-            pa.array(cols_start, pa.uint32()),
-        ],
-        schema=KMERS_SCHEMA,
-    )
+    if not chunks:
+        return KMERS_SCHEMA.empty_table()
+    return pa.concat_tables(chunks)
 
 
 def write_kmer_table(table: pa.Table, path: str) -> str:
