@@ -50,7 +50,10 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     import jax
     import jax.numpy as jnp
 
-    from kmerseek_tpu.ops.inverted import build_inverted_np, inverted_pair_stats
+    from kmerseek_tpu.ops.inverted import (
+        build_inverted_np,
+        inverted_pair_stats_bucketed,
+    )
 
     TARGETS_, QUERIES_, SKETCH_ = targets, queries, sketch
     rng = np.random.default_rng(0)
@@ -67,16 +70,19 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     dev = jax.device_put
     g_hi, g_lo = dev(inv.g_hi), dev(inv.g_lo)
     tid, ab = dev(inv.tid), dev(inv.ab)
+    starts = dev(inv.bucket_starts)
     q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
     q_valid = dev(np.arange(SKETCH_)[None, :] < q_c[:, None])
 
     red = jax.jit(lambda c, w, d: c.sum() + w.sum() + d)
 
     def step(dep):
-        c, w = inverted_pair_stats(
-            g_hi, g_lo, tid, ab, q_hi_d, q_lo_d,
+        c, w = inverted_pair_stats_bucketed(
+            g_hi, g_lo, tid, ab, starts, q_hi_d, q_lo_d,
             q_valid & (dep >= 0),
             n_targets=inv.n_targets, max_run=inv.max_run,
+            span_steps=max(int(inv.max_span).bit_length(), 1),
+            bucket_shift=inv.bucket_shift,
         )
         return red(c, w, dep)
 

@@ -449,7 +449,11 @@ class ProteomeIndex:
             g_lo=inv.g_lo,
             tid=inv.tid,
             ab=inv.ab,
-            shape=np.asarray([inv.n_targets, inv.max_run], np.int64),
+            bucket_starts=inv.bucket_starts,
+            shape=np.asarray(
+                [inv.n_targets, inv.max_run, inv.max_span, inv.bucket_shift],
+                np.int64,
+            ),
         )
         if self.sequences is not None:
             seq_off = np.zeros(len(self.sequences) + 1, np.int64)
@@ -494,10 +498,20 @@ class ProteomeIndex:
             from ..ops.inverted import InvertedIndex
 
             iz = np.load(inv_path)
-            n_targets, max_run = (int(v) for v in iz["shape"])
-            idx._inverted = InvertedIndex(
+            shape = [int(v) for v in iz["shape"]]
+            n_targets, max_run = shape[0], shape[1]
+            inv = InvertedIndex(
                 iz["g_hi"], iz["g_lo"], iz["tid"], iz["ab"], n_targets, max_run
             )
+            if "bucket_starts" in iz.files and len(shape) >= 4:
+                inv = inv._replace(
+                    bucket_starts=iz["bucket_starts"],
+                    max_span=shape[2],
+                    bucket_shift=shape[3],
+                )
+            else:  # older .ksx without the bucket table: rebuild it (cheap)
+                inv = inv.with_buckets()
+            idx._inverted = inv
         return idx
 
     # ------------------------------------------------------------------

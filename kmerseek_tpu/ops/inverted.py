@@ -33,6 +33,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# top hash bits used for the device-side bucket table: 2^16 buckets keep
+# the start table small (256 KiB) while murmur uniformity makes each
+# bucket span ~N/65536 postings — the binary search shrinks from
+# log2(N) HBM gather rounds to 1 + log2(span)
+BUCKET_BITS = 16
+
+
 class InvertedIndex(NamedTuple):
     """Host-side flattened posting arrays (upload once per index)."""
 
@@ -42,11 +49,36 @@ class InvertedIndex(NamedTuple):
     ab: np.ndarray  # (N,) int32 — abundance of the hash in that target
     n_targets: int
     max_run: int  # longest run of equal hashes (max document frequency)
+    bucket_starts: np.ndarray = None  # (2^BUCKET_BITS + 1,) int32
+    max_span: int = 0  # widest bucket (static binary-search depth)
+    bucket_shift: int = 48  # hash >> shift = bucket id (scale-aware)
 
     def g64(self) -> np.ndarray:
         """Sorted uint64 posting hashes (host searchsorted joins)."""
         return (self.g_hi.astype(np.uint64) << np.uint64(32)) | self.g_lo.astype(
             np.uint64
+        )
+
+    def with_buckets(self) -> "InvertedIndex":
+        """Attach the bucket start table (computed on host, persisted).
+
+        The shift adapts to the hash range: the scaled filter keeps only
+        hashes ≤ 2^64/scaled, so fixed top bits would waste log2(scaled)
+        bits of the table; anchoring the shift at the max hash's leading
+        zeros keeps every bucket populated (clamped at 32 so the bucket
+        id comes from the high word alone)."""
+        if self.bucket_starts is not None:
+            return self
+        g = self.g64()
+        max_hash = int(g[-1]) if len(g) else 0
+        lead_z = 64 - max_hash.bit_length() if max_hash else 0
+        shift = max(64 - BUCKET_BITS - lead_z, 32)
+        tops = (g >> np.uint64(shift)).astype(np.int64)
+        starts = np.searchsorted(tops, np.arange(1 << BUCKET_BITS))
+        starts = np.append(starts, len(self.g_hi)).astype(np.int32)
+        max_span = int(np.diff(starts).max(initial=1))
+        return self._replace(
+            bucket_starts=starts, max_span=max_span, bucket_shift=shift
         )
 
 
@@ -73,15 +105,11 @@ def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndar
         ab,
         T,
         max_run,
-    )
+    ).with_buckets()
 
 
-def _global_lower_bound(g_hi, g_lo, q_hi, q_lo):
-    """First posting index with g >= q, vectorized over the (Q, S) block."""
-    N = g_hi.shape[0]
-    steps = max(int(N).bit_length(), 1)
-    lo = jnp.zeros(q_hi.shape, jnp.int32)
-    hi = jnp.full(q_hi.shape, N, jnp.int32)
+def _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, steps):
+    """``steps`` rounds of vectorized binary search within [lo, hi)."""
     for _ in range(steps):
         mid = (lo + hi) >> 1
         mh = jnp.take(g_hi, mid, mode="clip")
@@ -90,6 +118,31 @@ def _global_lower_bound(g_hi, g_lo, q_hi, q_lo):
         lo = jnp.where(less, mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     return lo
+
+
+def _global_lower_bound(g_hi, g_lo, q_hi, q_lo):
+    """First posting index with g >= q, vectorized over the (Q, S) block."""
+    N = g_hi.shape[0]
+    steps = max(int(N).bit_length(), 1)
+    lo = jnp.zeros(q_hi.shape, jnp.int32)
+    hi = jnp.full(q_hi.shape, N, jnp.int32)
+    return _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, steps)
+
+
+def _bucketed_lower_bound(
+    g_hi, g_lo, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
+):
+    """Lower bound via the top-bits bucket table: one gather pair into
+    the small start table narrows each probe to its bucket span, then
+    ``span_steps`` (= log2(max bucket width), static) bisect rounds —
+    ~3x fewer HBM gather rounds than the full log2(N) search.
+    ``bucket_shift`` ≥ 32, so the bucket id needs only the high word;
+    query hashes above the corpus max clip into the last bucket."""
+    b = (q_hi >> jnp.uint32(bucket_shift - 32)).astype(jnp.int32)
+    b = jnp.minimum(b, jnp.int32((1 << BUCKET_BITS) - 1))
+    lo = jnp.take(bucket_starts, b)
+    hi = jnp.take(bucket_starts, b + 1)
+    return _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, span_steps)
 
 
 @functools.partial(jax.jit, static_argnames=("n_targets", "max_run"))
@@ -110,9 +163,17 @@ def inverted_pair_stats(
     ``q_valid`` masks real, distinct query slots (duplicates and padding
     off — see ``ops.sketch.sorted_window_hashes``'s ``first`` mask).
     """
+    pos = _global_lower_bound(g_hi, g_lo, q_hi, q_lo)
+    return _accumulate_runs(
+        g_hi, g_lo, tid, ab, pos, q_hi, q_lo, q_valid, n_targets, max_run
+    )
+
+
+def _accumulate_runs(g_hi, g_lo, tid, ab, pos, q_hi, q_lo, q_valid, n_targets, max_run):
+    """Walk each probe's run of equal hashes, scatter-adding into the
+    dense (Q, T) count/weight matrices."""
     Q, S = q_hi.shape
     N = g_hi.shape[0]
-    pos = _global_lower_bound(g_hi, g_lo, q_hi, q_lo)
     qi = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0)
     drop = jnp.int32(n_targets)
 
@@ -139,6 +200,35 @@ def inverted_pair_stats(
     return counts, weights
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_targets", "max_run", "span_steps", "bucket_shift"),
+)
+def inverted_pair_stats_bucketed(
+    g_hi,
+    g_lo,
+    tid,
+    ab,
+    bucket_starts,
+    q_hi,
+    q_lo,
+    q_valid,
+    *,
+    n_targets: int,
+    max_run: int,
+    span_steps: int,
+    bucket_shift: int = 48,
+):
+    """Dense stats with the bucketed lower bound (single-chip fast path;
+    bit-equal to ``inverted_pair_stats``)."""
+    pos = _bucketed_lower_bound(
+        g_hi, g_lo, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
+    )
+    return _accumulate_runs(
+        g_hi, g_lo, tid, ab, pos, q_hi, q_lo, q_valid, n_targets, max_run
+    )
+
+
 def inverted_search(index, q_hi, q_lo, q_valid):
     """Convenience wrapper: ProteomeIndex + device query block → stats.
 
@@ -153,6 +243,21 @@ def inverted_search(index, q_hi, q_lo, q_valid):
         Q = np.asarray(q_hi).shape[0]
         z = np.zeros((Q, inv.n_targets), np.int32)
         return jnp.asarray(z), jnp.asarray(z)
+    if inv.bucket_starts is not None:
+        return inverted_pair_stats_bucketed(
+            jnp.asarray(inv.g_hi),
+            jnp.asarray(inv.g_lo),
+            jnp.asarray(inv.tid),
+            jnp.asarray(inv.ab),
+            jnp.asarray(inv.bucket_starts),
+            q_hi,
+            q_lo,
+            q_valid,
+            n_targets=inv.n_targets,
+            max_run=inv.max_run,
+            span_steps=max(int(inv.max_span).bit_length(), 1),
+            bucket_shift=inv.bucket_shift,
+        )
     return inverted_pair_stats(
         jnp.asarray(inv.g_hi),
         jnp.asarray(inv.g_lo),

@@ -36,7 +36,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .inverted import InvertedIndex, _global_lower_bound, build_inverted_np
+from .inverted import (
+    InvertedIndex,
+    _bucketed_lower_bound,
+    _global_lower_bound,
+    build_inverted_np,
+)
 
 
 class SparseHits(NamedTuple):
@@ -50,7 +55,10 @@ class SparseHits(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_targets", "max_run", "capacity")
+    jax.jit,
+    static_argnames=(
+        "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
+    ),
 )
 def inverted_sparse_hits(
     g_hi,
@@ -64,16 +72,26 @@ def inverted_sparse_hits(
     n_targets: int,
     max_run: int,
     capacity: int,
+    span_steps: int = 0,
+    bucket_shift: int = 48,
+    bucket_starts=None,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
     Returns (q_out, t_out, count_out, weight_out, n_hits) with the
     first ``min(n_hits, capacity)`` slots populated in (q, t) ascending
-    order; slots beyond the hit count hold q = Q sentinels.
+    order; slots beyond the hit count hold q = Q sentinels. With
+    ``bucket_starts`` + ``span_steps`` the probe uses the bucketed
+    lower bound (fewer HBM gather rounds).
     """
     Q, S = q_hi.shape
     N = g_hi.shape[0]
-    pos = _global_lower_bound(g_hi, g_lo, q_hi, q_lo)
+    if bucket_starts is not None:
+        pos = _bucketed_lower_bound(
+            g_hi, g_lo, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
+        )
+    else:
+        pos = _global_lower_bound(g_hi, g_lo, q_hi, q_lo)
 
     # expand runs: (max_run, Q, S) match tuples
     r = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 0)
@@ -133,6 +151,7 @@ def sparse_search(
     if capacity is None:
         capacity = Q * S * inv.max_run
     capacity = max(((capacity + 127) // 128) * 128, 128)
+    inv = inv.with_buckets()
     q_out, t_out, counts, weights, n_hits = inverted_sparse_hits(
         jnp.asarray(inv.g_hi),
         jnp.asarray(inv.g_lo),
@@ -144,6 +163,9 @@ def sparse_search(
         n_targets=inv.n_targets,
         max_run=inv.max_run,
         capacity=int(capacity),
+        span_steps=max(int(inv.max_span).bit_length(), 1),
+        bucket_shift=inv.bucket_shift,
+        bucket_starts=jnp.asarray(inv.bucket_starts),
     )
     n = int(n_hits)
     h = min(n, int(capacity))
