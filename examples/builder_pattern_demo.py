@@ -2,7 +2,10 @@
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
-if "JAX_PLATFORMS" not in os.environ:
+
+# the container sitecustomize pins the axon accelerator platform even
+# when the env var says cpu; demos always force CPU (fast, hermetic)
+if os.environ.get("KMERSEEK_EXAMPLE_BACKEND") != "accelerator":
     jax.config.update("jax_platforms", "cpu")
 
 from kmerseek_tpu.core.index import ProteomeIndexBuilder
