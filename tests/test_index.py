@@ -166,3 +166,56 @@ def test_sig_zip_byte_fidelity_vs_sourmash_fixture(tmp_path):
     assert (
         pathlib.Path(out).read_bytes() == pathlib.Path(out2).read_bytes()
     )
+
+
+def test_old_ksx_without_bucket_table_loads(tmp_path):
+    """Round-1 .ksx saves carry no bucket table (3-entry shape, no
+    bucket_starts member): load must rebuild it and search normally."""
+    import jax.numpy as jnp
+
+    sigs = _sig_pair()
+    idx = ProteomeIndex.from_signatures(sigs, IndexConfig(16, 5, "hp"))
+    path = str(tmp_path / "old.ksx")
+    idx.save(path)
+    # rewrite inverted.npz in the old (pre-bucket) layout
+    inv_path = os.path.join(path, "inverted.npz")
+    iz = dict(np.load(inv_path))
+    np.savez_compressed(
+        inv_path,
+        g_hi=iz["g_hi"],
+        g_lo=iz["g_lo"],
+        tid=iz["tid"],
+        ab=iz["ab"],
+        shape=iz["shape"][:2],
+    )
+    loaded = ProteomeIndex.load(path)
+    inv = loaded._inverted
+    assert inv.bucket_starts is not None and inv.max_span >= 1
+    from kmerseek_tpu.ops.inverted import inverted_search
+
+    q_hi, q_lo, _ab, _c = loaded.dense_device_arrays()
+    q_valid = jnp.asarray(
+        np.arange(q_hi.shape[1])[None, :] < loaded.counts[:, None]
+    )
+    n, _w = inverted_search(loaded, q_hi, q_lo, q_valid)
+    assert np.array_equal(
+        np.diag(np.asarray(n)), loaded.counts
+    )  # self-search diagonal
+
+
+def _sig_pair():
+    from kmerseek_tpu.core.signature import Signature
+
+    return [
+        Signature(
+            name=f"p{i}",
+            mins=np.sort(
+                np.array([11 + 7 * i, 22 + 7 * i, 33, 44], np.uint64) << 40
+            ),
+            abundances=np.array([1, 2, 1, 3], np.int64),
+            ksize=16,
+            scaled=5,
+            moltype="hp",
+        )
+        for i in range(3)
+    ]
