@@ -196,6 +196,7 @@ class ProteomeIndex:
         self._combined = None
         self._kmer_table = None
         self._inverted = None
+        self._md5s = None
 
     # ------------------------------------------------------------------
     # construction
@@ -348,6 +349,17 @@ class ProteomeIndex:
             self._combined = merge_sketches_np(mins_list, ab_list)
         return self._combined
 
+    def md5_for(self, i: int) -> str:
+        """Sourmash md5 of signature ``i``, computed once per index and
+        persisted in ``.ksx`` metadata (the reference keeps md5s in its
+        sig.zip manifest; recomputing per search row is O(total mins)
+        Python at proteome scale)."""
+        if self._md5s is None:
+            self._md5s = [None] * len(self)
+        if self._md5s[i] is None:
+            self._md5s[i] = self.signature(i).md5sum
+        return self._md5s[i]
+
     @property
     def inverted(self):
         """Globally sorted posting arrays for the inverted search engine.
@@ -431,6 +443,7 @@ class ProteomeIndex:
             "source_fasta": self.source_fasta,
             "names": self.names,
             "has_sequences": self.sequences is not None,
+            "md5s": [self.md5_for(i) for i in range(len(self))],
         }
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(meta, f)
@@ -493,6 +506,8 @@ class ProteomeIndex:
             source_fasta=meta.get("source_fasta", ""),
             sequences=sequences,
         )
+        if meta.get("md5s"):
+            idx._md5s = list(meta["md5s"])
         inv_path = os.path.join(path, "inverted.npz")
         if os.path.exists(inv_path):
             from ..ops.inverted import InvertedIndex

@@ -292,11 +292,11 @@ def manysearch(
 
     # md5s only for signatures that appear in a kept row
     q_md5 = {
-        int(i): query.signature(int(i)).md5sum
+        int(i): query.md5_for(int(i))
         for i in np.unique(js.seg_q[keep]).tolist()
     }
     t_md5 = {
-        int(j): target.signature(int(j)).md5sum
+        int(j): target.md5_for(int(j))
         for j in np.unique(js.seg_t[keep]).tolist()
     }
 
@@ -416,11 +416,11 @@ def multisearch(
     jaccard = js.seg_n / (qs + ts - js.seg_n)
 
     q_md5 = {
-        int(i): query.signature(int(i)).md5sum
+        int(i): query.md5_for(int(i))
         for i in np.unique(js.seg_q[keep]).tolist()
     }
     t_md5 = {
-        int(j): target.signature(int(j)).md5sum
+        int(j): target.md5_for(int(j))
         for j in np.unique(js.seg_t[keep]).tolist()
     }
     qn = np.asarray(query.names, dtype=object)

@@ -219,3 +219,14 @@ def _sig_pair():
         )
         for i in range(3)
     ]
+
+
+def test_md5s_persisted_and_reused(tmp_path):
+    sigs = _sig_pair()
+    idx = ProteomeIndex.from_signatures(sigs, IndexConfig(16, 5, "hp"))
+    expect = [s.md5sum for s in sigs]
+    assert [idx.md5_for(i) for i in range(3)] == expect
+    path = str(tmp_path / "m.ksx")
+    idx.save(path)
+    loaded = ProteomeIndex.load(path)
+    assert loaded._md5s == expect  # persisted, not lazily recomputed
