@@ -262,11 +262,25 @@ def main():
 
     # Parent: the tunnel can wedge mid-run even after a healthy probe,
     # so each accelerator attempt runs in a hard-killed child process;
-    # the driver's invocation can therefore never hang.
+    # the driver's invocation can therefore never hang. A PRELIMINARY
+    # CPU-measured JSON line is printed before the accelerator attempts:
+    # if an outer timeout kills this process mid-probe, the driver's
+    # tail still ends with a parseable record; a successful accelerator
+    # line printed later supersedes it.
     import subprocess
 
     t_start = time.monotonic()
     deadline = t_start + _TOTAL_BUDGET_S
+    preliminary = None
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        preliminary = _measure("cpu-preliminary (accelerator attempts pending)")
+        print(json.dumps(preliminary), flush=True)
+    except Exception as e:
+        print(f"preliminary CPU measurement failed: {e}", file=sys.stderr)
+
     for attempt in (1, 2):
         remaining = deadline - time.monotonic() - _CPU_RESERVE_S
         if remaining < _MEASURE_MIN_S + 60:
@@ -289,11 +303,18 @@ def main():
             sys.stderr.write(r.stderr[-2000:])
             for line in reversed(r.stdout.strip().splitlines()):
                 if line.startswith("{"):
-                    print(line)
+                    print(line, flush=True)
                     return
         except Exception as e:
             print(f"bench child attempt {attempt} failed: {e}", file=sys.stderr)
-    # both child attempts failed or hung: measure on CPU here
+    # both child attempts failed or hung: report the CPU numbers
+    if preliminary is not None:
+        blob = json.dumps(preliminary).replace(
+            "cpu-preliminary (accelerator attempts pending)",
+            "cpu-fallback (accelerator run failed)",
+        )
+        print(blob, flush=True)
+        return
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -305,6 +326,10 @@ def main():
 
 
 def _run_and_print(backend: str, search_deadline: float | None = None):
+    print(json.dumps(_measure(backend, search_deadline)), flush=True)
+
+
+def _measure(backend: str, search_deadline: float | None = None) -> dict:
     # the axon sitecustomize force-sets jax_platforms='axon,cpu' at
     # interpreter start regardless of the env var, so a CPU intent must
     # be enforced through jax.config explicitly
@@ -349,7 +374,7 @@ def _run_and_print(backend: str, search_deadline: float | None = None):
             result["detail"]["search"] = s["detail"]
         except Exception as e:
             result["detail"]["search_error"] = repr(e)
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
