@@ -210,6 +210,38 @@ def iter_record_batches(
         yield batch
 
 
+def prefetch(iterable, depth: int = 2):
+    """Background-thread prefetch: overlap host-side FASTA reading /
+    decompression with device compute (the async double-buffered ingest
+    of SURVEY §2.6 — the reference overlaps via rayon worker threads,
+    index.rs:924-1005). ``depth`` bounds the queue so a slow consumer
+    never buffers the whole corpus. Exceptions in the producer re-raise
+    in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def length_buckets(
     lengths: Sequence[int], bucket_edges: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192, 16384, 40960)
 ) -> List[List[int]]:

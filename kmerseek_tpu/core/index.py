@@ -259,7 +259,11 @@ class ProteomeIndex:
         signatures: List[Signature] = []
         sequences: List[bytes] = [] if store_raw_sequences else None
         n_done = 0
-        for records in iter_record_batches(fasta, batch_size):
+        from .fasta import prefetch
+
+        # background-thread ingest: FASTA read/decompress of batch i+1
+        # overlaps the device sketch of batch i
+        for records in prefetch(iter_record_batches(fasta, batch_size)):
             names = [r.name for r in records]
             resolved = validate_resolve_batch(
                 [r.seq for r in records], names, policy=ambiguity_policy

@@ -205,7 +205,9 @@ def build_distributed_index(
     use_pallas = jax.default_backend() not in ("cpu",)
     ordinals: List[int] = []
     signatures = []
-    for batch in iter_host_shard_batches(fasta, pidx, pcount, batch_size):
+    from ..core.fasta import prefetch
+
+    for batch in prefetch(iter_host_shard_batches(fasta, pidx, pcount, batch_size)):
         names = [r.name for _o, r in batch]
         resolved = validate_resolve_batch(
             [r.seq for _o, r in batch], names, policy=ambiguity_policy

@@ -164,3 +164,20 @@ def test_fasta_stdin(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == "2 p1"
+
+
+def test_prefetch_orders_and_propagates_errors():
+    from kmerseek_tpu.core.fasta import prefetch
+
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("producer broke")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="producer broke"):
+        list(it)
