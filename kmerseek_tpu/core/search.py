@@ -189,7 +189,13 @@ def _validate_with_device(query, target, js: _JoinSegments, weighted, sample: in
     descriptive error instead of a bare assert (survives ``python -O``).
 
     Engine choice: the dense inverted engine while Q·T is small, the
-    bounded sparse hit-list engine beyond (no (Q, T) materialization)."""
+    bounded sparse hit-list engine beyond (no (Q, T) materialization).
+    Set ``KMERSEEK_SEARCH_VALIDATE=0`` to skip the cross-check (single-
+    pass host join) on trusted production corpora."""
+    import os
+
+    if os.environ.get("KMERSEEK_SEARCH_VALIDATE") == "0":
+        return
     rng = np.random.default_rng(0)
     take = rng.choice(len(js.seg_n), size=min(sample, len(js.seg_n)), replace=False)
     sq, st = js.seg_q[take], js.seg_t[take]
