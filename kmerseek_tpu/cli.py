@@ -92,6 +92,16 @@ def index(fasta, moltype, ksize, scaled, extract_kmers, profile, debug, force):
         "a temporary file is created. Mostly for debugging purposes"
     ),
 )
+@click.option(
+    "--annotate-domains",
+    default=None,
+    help=(
+        "UniProt XML export (optionally .gz): log domain/region features "
+        "overlapping each stitched match interval (completes the "
+        "reference's unfinished show_results path, search.py:21-34). "
+        "Requires --extract-kmers"
+    ),
+)
 @click.option("--debug", is_flag=True, help="Enable debug logging")
 @click.option(
     "--force",
@@ -108,6 +118,7 @@ def search(
     extract_kmers,
     output,
     sourmash_search_csv,
+    annotate_domains,
     debug,
     force,
 ):
@@ -148,6 +159,19 @@ def search(
         )
         click.echo(report, err=True)
         sys.stderr.flush()
+        if annotate_domains:
+            from .core.uniprot import get_domains
+            from .utils.logging import logger
+
+            for row in stitched.itertuples():
+                domains = get_domains(
+                    row.match_name,
+                    int(row.match_start),
+                    int(row.match_end),
+                    xml_path=annotate_domains,
+                )
+                for d in domains or ():
+                    logger.info(f"Found: {d.name} in {d.start}-{d.end}")
         data = stitched_to_csv(stitched)
         if output is None:
             sys.stdout.write(data)

@@ -30,6 +30,14 @@ class Domain:
 _FEATURE_TYPES = {"domain", "region of interest", "zinc finger region", "motif"}
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _load_uniprot_xml_cached(path: str):
+    return load_uniprot_xml(path)
+
+
 def load_uniprot_xml(path: str):
     """Parse a UniProt XML export → {accession: [Domain]}."""
     opener = gzip.open if path.endswith(".gz") else open
@@ -72,7 +80,7 @@ def get_domains(
     reference's stub behavior (uniprot.py:6-19)."""
     if xml_path is None or not os.path.exists(xml_path):
         return None
-    table = load_uniprot_xml(xml_path)
+    table = _load_uniprot_xml_cached(xml_path)
     acc = uniprot_id.split("|")[1] if "|" in uniprot_id else uniprot_id
     domains = table.get(acc)
     if domains is None:

@@ -179,3 +179,34 @@ def test_index_cli_profile_flag(workdir):
     )
     assert result.returncode == 0, result.stderr
     assert os.path.isdir(prof)
+
+
+def test_search_cli_annotate_domains(workdir, tmp_path):
+    """--annotate-domains completes the reference's unfinished
+    show_results path: a BCL2_HUMAN self-match must log its UniProt
+    domain features from the local XML fixture."""
+    tmp, _ced9, bcl2 = workdir
+    xml = (
+        "/root/reference/tests/testdata/index/"
+        "uniprotkb_gene_bcl2_AND_reviewed_true_2025_06_04.xml"
+    )
+    if not os.path.exists(xml):
+        import pytest
+
+        pytest.skip("UniProt XML fixture unavailable")
+    # single-record FASTA: BCL2_HUMAN only (fast self-search)
+    from kmerseek_tpu.core.fasta import read_fasta
+
+    rec = next(r for r in read_fasta(bcl2) if "P10415" in r.name)
+    solo = os.path.join(tmp, "bcl2_human.fasta")
+    with open(solo, "w") as f:
+        f.write(f">{rec.name}\n{rec.seq.decode()}\n")
+    result = _run(
+        [
+            "search", "--extract-kmers", "--ksize", "16",
+            "--annotate-domains", xml, solo, solo,
+        ],
+        tmp,
+    )
+    assert result.returncode == 0, result.stderr
+    assert "Found: Disordered in 38-85" in result.stderr
