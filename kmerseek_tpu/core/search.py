@@ -220,7 +220,9 @@ def _validate_with_device(query, target, js: _JoinSegments, weighted, sample: in
             np.arange(q_hi.shape[1])[None, :] < query.counts[:, None]
         )
         hits = sparse_search(
-            target, q_hi, q_lo, q_valid, capacity=len(js.seg_n) + 128
+            target, q_hi, q_lo, q_valid,
+            capacity=len(js.seg_n) + 128,
+            q_chunk=4096,  # bounds the (max_run, Q, S) tuple expansion
         )
         if hits.n_hits != len(js.seg_n):
             raise RuntimeError(

@@ -132,7 +132,12 @@ def inverted_sparse_hits(
 
 
 def sparse_search(
-    index, q_hi, q_lo, q_valid, capacity: int | None = None
+    index,
+    q_hi,
+    q_lo,
+    q_valid,
+    capacity: int | None = None,
+    q_chunk: int | None = None,
 ) -> SparseHits:
     """ProteomeIndex + device query block → trimmed sparse hit list.
 
@@ -140,6 +145,11 @@ def sparse_search(
     posting a distinct pair), rounded up to a lane multiple; pass a
     tighter bound when the true hit count is known (e.g. from the host
     join) to shrink the output buffers.
+
+    ``q_chunk`` bounds the kernel's (max_run, Q, S) tuple expansion for
+    large query blocks: queries are processed in fixed-size chunks (one
+    compiled program, last chunk padded) and the per-chunk hit lists
+    concatenate — (q, t) order is preserved because chunks ascend in q.
     """
     inv = getattr(index, "inverted", None)
     if not isinstance(inv, InvertedIndex):
@@ -148,6 +158,33 @@ def sparse_search(
     if len(inv.g_hi) == 0:
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
+    if q_chunk is not None and Q > q_chunk:
+        import jax.numpy as _jnp
+
+        q_hi_np = np.asarray(q_hi)
+        q_lo_np = np.asarray(q_lo)
+        q_valid_np = np.asarray(q_valid)
+        parts = []
+        n_total = 0
+        for lo in range(0, Q, q_chunk):
+            hi = min(lo + q_chunk, Q)
+            pad = q_chunk - (hi - lo)
+            ch = np.pad(q_hi_np[lo:hi], ((0, pad), (0, 0)), constant_values=0xFFFFFFFF)
+            cl = np.pad(q_lo_np[lo:hi], ((0, pad), (0, 0)), constant_values=0xFFFFFFFF)
+            cv = np.pad(q_valid_np[lo:hi], ((0, pad), (0, 0)), constant_values=False)
+            h = sparse_search(
+                index, _jnp.asarray(ch), _jnp.asarray(cl), _jnp.asarray(cv),
+                capacity=capacity,
+            )
+            parts.append(h._replace(q=h.q + np.int32(lo)))
+            n_total += h.n_hits
+        return SparseHits(
+            np.concatenate([p.q for p in parts]),
+            np.concatenate([p.t for p in parts]),
+            np.concatenate([p.count for p in parts]),
+            np.concatenate([p.weight for p in parts]),
+            n_total,
+        )
     if capacity is None:
         capacity = Q * S * inv.max_run
     capacity = max(((capacity + 127) // 128) * 128, 128)

@@ -137,3 +137,22 @@ def test_million_target_index_no_dense_matrix():
     got = set(zip(hits.q.tolist(), hits.t.tolist()))
     assert expect <= got
     assert hits.n_hits == len(got)
+
+
+def test_chunked_query_blocks_bit_equal():
+    """q_chunk processing (large query blocks) must concatenate to the
+    exact unchunked hit list, including the padded final chunk."""
+    rng = np.random.default_rng(31)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=500, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(80, 20, pool, 8)
+    query = _mk_index(37, 12, pool, 9)  # 37 % 8 != 0 → padded last chunk
+    q_hi, q_lo, q_valid = _query_block(query)
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    chunked = sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
+    assert chunked.n_hits == full.n_hits
+    assert np.array_equal(chunked.q, full.q)
+    assert np.array_equal(chunked.t, full.t)
+    assert np.array_equal(chunked.count, full.count)
+    assert np.array_equal(chunked.weight, full.weight)
