@@ -353,6 +353,16 @@ class ProteomeIndex:
             self._combined = merge_sketches_np(mins_list, ab_list)
         return self._combined
 
+    @property
+    def kmer_table(self):
+        """Cached k-mer sidecar table (``core.kmers`` parquet contract),
+        built on first access from stored sequences or the source FASTA."""
+        if self._kmer_table is None:
+            from .kmers import kmer_table_for_index
+
+            self._kmer_table = kmer_table_for_index(self)
+        return self._kmer_table
+
     def md5_for(self, i: int) -> str:
         """Sourmash md5 of signature ``i``, computed once per index and
         persisted in ``.ksx`` metadata (the reference keeps md5s in its
@@ -430,7 +440,18 @@ class ProteomeIndex:
             ):
                 return False
         ca, cb = self.combined, other.combined
-        return np.array_equal(ca[0], cb[0]) and np.array_equal(ca[1], cb[1])
+        if not (np.array_equal(ca[0], cb[0]) and np.array_equal(ca[1], cb[1])):
+            return False
+        # kmer-sidecar clause (index.rs:562-605: per-hash ksize/hashval/
+        # encoded-kmer/positions): compare when both sides carry a table
+        ta, tb = self._kmer_table, other._kmer_table
+        if ta is not None and tb is not None:
+            cols = ["sequence_name", "kmer", "hashval", "encoded", "start"]
+            sa = ta.select(cols).to_pandas().sort_values(cols).reset_index(drop=True)
+            sb = tb.select(cols).to_pandas().sort_values(cols).reset_index(drop=True)
+            if not sa.equals(sb):
+                return False
+        return True
 
     # ------------------------------------------------------------------
     # persistence (replaces save_state/load_state, index.rs:227-426)

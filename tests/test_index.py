@@ -230,3 +230,26 @@ def test_md5s_persisted_and_reused(tmp_path):
     idx.save(path)
     loaded = ProteomeIndex.load(path)
     assert loaded._md5s == expect  # persisted, not lazily recomputed
+
+
+def test_equivalence_includes_kmer_sidecar(tmp_path):
+    """index.rs:562-605 parity: when both indexes carry a k-mer table,
+    equivalence compares it too."""
+    p = tmp_path / "two.fasta"
+    p.write_text(">a\nPLANTANDANIMALGENQMES\n>b\nLIVINGALIVE\n")
+    cfg = IndexConfig(5, 1, "hp")
+    a = ProteomeIndex.build(str(p), cfg, store_raw_sequences=True)
+    b = ProteomeIndex.build(str(p), cfg, store_raw_sequences=True)
+    _ = a.kmer_table
+    _ = b.kmer_table
+    assert a.is_equivalent_to(b)
+    # corrupt one side's table: equivalence must now fail
+    import pyarrow as pa
+
+    tbl = b.kmer_table
+    col = tbl.column("start").to_pylist()
+    col[0] = col[0] + 1
+    b._kmer_table = tbl.set_column(
+        tbl.schema.get_field_index("start"), "start", pa.array(col, pa.uint32())
+    )
+    assert not a.is_equivalent_to(b)
