@@ -431,8 +431,6 @@ def multisearch(
         int(j): target.md5_for(int(j))
         for j in np.unique(js.seg_t[keep]).tolist()
     }
-    qn = np.asarray(query.names, dtype=object)
-    tn = np.asarray(target.names, dtype=object)
     kept = np.flatnonzero(keep)
     kept = kept[
         np.lexsort(
@@ -443,44 +441,63 @@ def multisearch(
         )
     ]
 
-    rows: List[Dict] = []
-    for r in kept.tolist():
-        qi, tj = int(js.seg_q[r]), int(js.seg_t[r])
-        cont = float(containment[r])
-        ctq = float(c_tq[r])
-        row = {
-            "query_name": qn[qi],
+    # column lists + one zip comprehension (same shape as manysearch —
+    # per-row Python work is dict construction only)
+    sq = js.seg_q[kept].tolist()
+    st = js.seg_t[kept].tolist()
+    cont_l = containment[kept].tolist()
+    ctq_l = c_tq[kept].tolist()
+    jac_l = jaccard[kept].tolist()
+    inter_l = js.seg_n[kept].astype(np.float64).tolist()
+    scaled = query.config.scaled
+    moltype = query.config.moltype
+    qnames, tnames = query.names, target.names
+    if not estimate_prob_overlap:
+        return [
+            {
+                "query_name": qnames[qi],
+                "query_md5": q_md5[qi],
+                "match_name": tnames[tj],
+                "match_md5": t_md5[tj],
+                "containment": cont,
+                "max_containment": cont if cont >= ctq else ctq,
+                "jaccard": jac,
+                "intersect_hashes": inter,
+                "ksize": k3,
+                "scaled": scaled,
+                "moltype": moltype,
+            }
+            for qi, tj, cont, ctq, jac, inter in zip(
+                sq, st, cont_l, ctq_l, jac_l, inter_l
+            )
+        ]
+    prob_l = prob[kept].tolist()
+    tfidf_l = tfidf[kept].tolist()
+    return [
+        {
+            "query_name": qnames[qi],
             "query_md5": q_md5[qi],
-            "match_name": tn[tj],
+            "match_name": tnames[tj],
             "match_md5": t_md5[tj],
             "containment": cont,
-            "max_containment": max(cont, ctq),
-            "jaccard": float(jaccard[r]),
-            "intersect_hashes": float(js.seg_n[r]),
+            "max_containment": cont if cont >= ctq else ctq,
+            "jaccard": jac,
+            "intersect_hashes": inter,
             "ksize": k3,
-            "scaled": query.config.scaled,
-            "moltype": query.config.moltype,
+            "scaled": scaled,
+            "moltype": moltype,
+            "prob_overlap": p,
+            "prob_overlap_adjusted": (pa := p * n_comparisons),
+            "containment_adjusted": cont / pa if pa else 0.0,
+            "containment_adjusted_log10": (
+                math.log10(cont / pa) if pa and cont > 0 else 0.0
+            ),
+            "tf_idf_score": tfi,
         }
-        if estimate_prob_overlap:
-            p = float(prob[r])
-            prob_adj = p * n_comparisons
-            row.update(
-                {
-                    "prob_overlap": p,
-                    "prob_overlap_adjusted": prob_adj,
-                    "containment_adjusted": (
-                        cont / prob_adj if prob_adj else 0.0
-                    ),
-                    "containment_adjusted_log10": (
-                        math.log10(cont / prob_adj)
-                        if prob_adj and cont > 0
-                        else 0.0
-                    ),
-                    "tf_idf_score": float(tfidf[r]),
-                }
-            )
-        rows.append(row)
-    return rows
+        for qi, tj, cont, ctq, jac, inter, p, tfi in zip(
+            sq, st, cont_l, ctq_l, jac_l, inter_l, prob_l, tfidf_l
+        )
+    ]
 
 
 def _as_index(obj) -> ProteomeIndex:
