@@ -500,14 +500,37 @@ def multisearch(
     ]
 
 
-def _as_index(obj) -> ProteomeIndex:
+def _as_index(obj, ksize=None, scaled=None, moltype=None) -> ProteomeIndex:
     """Accept a ProteomeIndex, a .sig.zip path, or an entity with a
-    ``.sig`` product path (the reference passes entities)."""
+    ``.sig`` product path (the reference passes entities).
+
+    Like branchwater, sketches are *selected* by the requested
+    (ksize, scaled, moltype) — an archive may carry several parameter
+    sets; only matching signatures participate. Raises when the
+    selection is empty (parameter mismatch)."""
     if isinstance(obj, ProteomeIndex):
+        _check_requested_params(obj, ksize, scaled, moltype)
         return obj
     if hasattr(obj, "sig"):
         obj = obj.sig
-    return ProteomeIndex.from_sig_zip(str(obj))
+    from .sigzip import read_sig_zip
+
+    sigs = read_sig_zip(str(obj))
+    selected = [
+        s
+        for s in sigs
+        if (ksize is None or s.ksize == ksize)
+        and (scaled is None or s.scaled == scaled)
+        and (moltype is None or s.moltype == moltype)
+    ]
+    if not selected:
+        have = sorted({(s.moltype, s.ksize, s.scaled) for s in sigs})
+        raise ValueError(
+            f"no signatures in {obj} match "
+            f"(moltype={moltype}, ksize={ksize}, scaled={scaled}); "
+            f"archive has {have}"
+        )
+    return ProteomeIndex.from_signatures(selected)
 
 
 def do_manysearch(query, target, output, ksize=None, scaled=None, moltype=None):
@@ -516,11 +539,11 @@ def do_manysearch(query, target, output, ksize=None, scaled=None, moltype=None):
     Argument order mirrors the reference's ``do_manysearch(query,
     target, output, ksize, scaled, moltype)``
     (/root/reference/src/python/kmerseek/search.py:125-141); threshold
-    is 0 to show all matches, even with only 1 k-mer. The ksize/scaled/
-    moltype arguments are validated against the archives (which carry
-    their own sketch parameters)."""
-    q, t = _as_index(query), _as_index(target)
-    _check_requested_params(q, ksize, scaled, moltype)
+    is 0 to show all matches, even with only 1 k-mer. Signatures are
+    selected from the archives by the requested parameters (branchwater
+    semantics)."""
+    q = _as_index(query, ksize, scaled, moltype)
+    t = _as_index(target, ksize, scaled, moltype)
     rows = manysearch(q, t, threshold=0.0)
     write_search_csv(rows, MANYSEARCH_COLUMNS, output)
     return rows
@@ -532,8 +555,8 @@ def do_multisearch(query, target, output, moltype=None, ksize=None, scaled=None)
     Mirrors ``do_multisearch(query, target, output, moltype, ksize,
     scaled)`` (/root/reference/src/python/kmerseek/search.py:144-158);
     threshold 0, prob_overlap estimated."""
-    q, t = _as_index(query), _as_index(target)
-    _check_requested_params(q, ksize, scaled, moltype)
+    q = _as_index(query, ksize, scaled, moltype)
+    t = _as_index(target, ksize, scaled, moltype)
     rows = multisearch(q, t, threshold=0.0, estimate_prob_overlap=True)
     write_search_csv(rows, MULTISEARCH_COLUMNS, output)
     return rows

@@ -274,8 +274,27 @@ def test_do_manysearch_do_multisearch_file_api(ced9_vs_bcl2, tmp_path):
     out2 = str(tmp_path / "multi.csv")
     rows2 = kmerseek_tpu.do_multisearch(qz, tz, out2, "hp", 16, 5)
     assert len(rows2) == 5 and "prob_overlap" in rows2[0]
-    with pytest.raises(ValueError, match="requested ksize"):
+    with pytest.raises(ValueError, match="no signatures .* match"):
         kmerseek_tpu.do_manysearch(qz, tz, out, 24, 5, "hp")
+
+    # branchwater selection semantics: a mixed-parameter archive is
+    # filtered to the requested (moltype, ksize, scaled)
+    from kmerseek_tpu.core.sigzip import read_sig_zip, write_sig_zip
+    from kmerseek_tpu.core.signature import Signature
+
+    mixed = read_sig_zip(tz)
+    extra = Signature(
+        name="other-k",
+        mins=np.array([5, 6], np.uint64),
+        abundances=np.array([1, 1], np.int64),
+        ksize=24,
+        scaled=5,
+        moltype="hp",
+    )
+    mz = str(tmp_path / "mixed.sig.zip")
+    write_sig_zip(mz, mixed + [extra])
+    rows3 = kmerseek_tpu.do_manysearch(qz, mz, str(tmp_path / "m3.csv"), 16, 5, "hp")
+    assert [r["match_md5"] for r in rows3] == [r["match_md5"] for r in rows]
 
 
 def test_param_mismatch_raises(ced9_vs_bcl2):
