@@ -342,15 +342,9 @@ class ProteomeIndex:
 
         The reference's combined KmerMinHash (index.rs:823-827)."""
         if self._combined is None:
-            mins_list = [
-                self.mins[self.offsets[i] : self.offsets[i + 1]]
-                for i in range(len(self))
-            ]
-            ab_list = [
-                self.abundances[self.offsets[i] : self.offsets[i + 1]]
-                for i in range(len(self))
-            ]
-            self._combined = merge_sketches_np(mins_list, ab_list)
+            # the CSR arrays are already the concatenation of every
+            # sketch — merge directly, no per-signature slicing
+            self._combined = merge_sketches_np([self.mins], [self.abundances])
         return self._combined
 
     @property
