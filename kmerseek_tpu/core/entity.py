@@ -36,6 +36,27 @@ def make_index_dirname(sig: str) -> str:
     return f"{sig}.ksx"
 
 
+def make_manysketch_csv(fasta: str) -> str:
+    """``{fasta}.manysketch.csv`` side artifact, byte-identical to the
+    reference's sketch helper (sketch.py:14-22) — observable output of
+    `kmerseek index` (tests/test_index.py:14-19)."""
+    csv = f"{fasta}.manysketch.csv"
+    basename = os.path.basename(fasta)
+    with open(csv, "w") as f:
+        f.write("name,genome_filename,protein_filename\n")
+        # proteins only — genome (DNA) filename column stays empty
+        f.write(f"{basename},,{fasta}\n")
+    return csv
+
+
+def make_siglist_file(sig: str) -> str:
+    """``{sig}.siglist`` (one path, no trailing newline), index.py:44-48."""
+    siglist = f"{sig}.siglist"
+    with open(siglist, "w") as f:
+        f.write(f"{sig}")
+    return siglist
+
+
 class KmerseekEntity:
     """Base: lazily produces .sig.zip / .kmers.pq / in-memory index."""
 
@@ -93,6 +114,7 @@ class KmerseekEntity:
                     logger.info(
                         "Found %s file, but re-making with '--force'", sigfile
                     )
+                make_manysketch_csv(self.fasta)
                 self.index.to_sig_zip(sigfile)
             else:
                 logger.info(
@@ -148,5 +170,6 @@ class KmerseekIndex(KmerseekEntity):
         """Persisted columnar index (stands in for index.py:13-17 rocksdb)."""
         idx_dir = make_index_dirname(self.sig)
         if self.force or not os.path.isdir(idx_dir):
+            make_siglist_file(self.sig)
             self.index.save(idx_dir)
         return idx_dir

@@ -210,3 +210,19 @@ def test_search_cli_annotate_domains(workdir, tmp_path):
     )
     assert result.returncode == 0, result.stderr
     assert "Found: Disordered in 38-85" in result.stderr
+
+
+def test_index_cli_side_artifacts(workdir):
+    """Observable side files of `index` (reference tests/test_index.py:
+    14-33): the manysketch helper CSV and the siglist file, byte-exact."""
+    tmp, _ced9, bcl2 = workdir
+    result = _run(["index", "--ksize", "16", "--force", bcl2], tmp)
+    assert result.returncode == 0, result.stderr
+    with open(f"{bcl2}.manysketch.csv") as f:
+        assert f.readlines() == [
+            "name,genome_filename,protein_filename\n",
+            f"{os.path.basename(bcl2)},,{bcl2}\n",
+        ]
+    sig = f"{bcl2}.hp.k16.scaled5.sig.zip"
+    with open(f"{sig}.siglist") as f:
+        assert f.readlines() == [sig]  # no trailing newline
