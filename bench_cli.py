@@ -48,6 +48,11 @@ def main():
                 with tempfile.TemporaryDirectory() as tmp:
                     fasta = os.path.join(tmp, os.path.basename(src))
                     shutil.copy(src, fasta)
+                    import resource
+
+                    rss_before = resource.getrusage(
+                        resource.RUSAGE_CHILDREN
+                    ).ru_maxrss
                     t0 = time.perf_counter()
                     r = subprocess.run(
                         [
@@ -61,6 +66,12 @@ def main():
                         timeout=600,
                     )
                     dt = time.perf_counter() - t0
+                    # peak RSS of the CLI child (reference: /usr/bin/time -l,
+                    # benchmark_cli.rs:55-87); ru_maxrss is KiB on Linux
+                    rss_kib = resource.getrusage(
+                        resource.RUSAGE_CHILDREN
+                    ).ru_maxrss
+                    peak_rss = max(rss_kib, rss_before)
                     sig = f"{fasta}.{moltype}.k{k}.scaled5.sig.zip"
                     ksx = f"{sig}.ksx"
                     print(
@@ -72,6 +83,7 @@ def main():
                                 "k": k,
                                 "value": dt,
                                 "rc": r.returncode,
+                                "peak_rss_kib": peak_rss,
                                 "index_bytes": (
                                     dir_size(ksx) if os.path.isdir(ksx) else None
                                 ),
