@@ -20,9 +20,33 @@ FASTA = (
     "bcl2_first25_uniprotkb_accession_O43236_OR_accession_2025_02_06.fasta.gz"
 )
 
-for moltype, k in [("protein", 5), ("dayhoff", 5), ("hp", 12)]:
-    idx = ProteomeIndex.build(FASTA, IndexConfig(k, 1, moltype))
+# the reference example's grid (test_bcl2_processing.rs:19-21) plus the
+# golden-count configs
+GRID = [
+    ("protein", 7, 1),
+    ("dayhoff", 10, 1),
+    ("hp", 14, 1),
+    ("protein", 5, 1),
+    ("dayhoff", 5, 1),
+    ("hp", 12, 1),
+]
+
+for moltype, k, scaled in GRID:
+    idx = ProteomeIndex.build(FASTA, IndexConfig(k, scaled, moltype))
     comb, _ = idx.combined
-    print(f"{moltype} k={k}: {len(idx)} proteins, combined={len(comb)}")
+    print(
+        f"{moltype} k={k} scaled={scaled}: {len(idx)} proteins, "
+        f"combined={len(comb)}"
+    )
     for name, count in list(zip(idx.names, idx.counts))[:3]:
         print(f"  {name.split(' ')[0]}: {count} distinct k-mers")
+
+    # self-search sanity: every protein contains itself fully
+    from kmerseek_tpu.core.search import manysearch
+
+    rows = manysearch(idx, idx)
+    selfc = [
+        r["containment"] for r in rows if r["query_name"] == r["match_name"]
+    ]
+    assert len(selfc) == len(idx) and all(c == 1.0 for c in selfc)
+    print(f"  self-search: {len(rows)} hit pairs, all self-containments 1.0")
