@@ -185,26 +185,38 @@ def sparse_search(
             np.concatenate([p.weight for p in parts]),
             n_total,
         )
+    retry_on_overflow = capacity is None
     if capacity is None:
-        capacity = Q * S * inv.max_run
+        # worst case (every probed posting a distinct pair) can be huge;
+        # start bounded — the kernel reports the true hit count, so one
+        # exact-capacity retry covers the rare overflow
+        capacity = min(Q * S * inv.max_run, 4 * 1024 * 1024)
     capacity = max(((capacity + 127) // 128) * 128, 128)
     inv = inv.with_buckets()
-    q_out, t_out, counts, weights, n_hits = inverted_sparse_hits(
-        jnp.asarray(inv.g_hi),
-        jnp.asarray(inv.g_lo),
-        jnp.asarray(inv.tid),
-        jnp.asarray(inv.ab),
-        q_hi,
-        q_lo,
-        q_valid,
-        n_targets=inv.n_targets,
-        max_run=inv.max_run,
-        capacity=int(capacity),
-        span_steps=max(int(inv.max_span).bit_length(), 1),
-        bucket_shift=inv.bucket_shift,
-        bucket_starts=jnp.asarray(inv.bucket_starts),
-    )
+
+    def run(cap: int):
+        return inverted_sparse_hits(
+            jnp.asarray(inv.g_hi),
+            jnp.asarray(inv.g_lo),
+            jnp.asarray(inv.tid),
+            jnp.asarray(inv.ab),
+            q_hi,
+            q_lo,
+            q_valid,
+            n_targets=inv.n_targets,
+            max_run=inv.max_run,
+            capacity=cap,
+            span_steps=max(int(inv.max_span).bit_length(), 1),
+            bucket_shift=inv.bucket_shift,
+            bucket_starts=jnp.asarray(inv.bucket_starts),
+        )
+
+    q_out, t_out, counts, weights, n_hits = run(int(capacity))
     n = int(n_hits)
+    if retry_on_overflow and n > capacity:
+        capacity = ((n + 127) // 128) * 128
+        q_out, t_out, counts, weights, n_hits = run(int(capacity))
+        n = int(n_hits)
     h = min(n, int(capacity))
     return SparseHits(
         np.asarray(q_out)[:h],

@@ -156,3 +156,34 @@ def test_chunked_query_blocks_bit_equal():
     assert np.array_equal(chunked.t, full.t)
     assert np.array_equal(chunked.count, full.count)
     assert np.array_equal(chunked.weight, full.weight)
+
+
+def test_default_capacity_retries_on_overflow(monkeypatch):
+    """The bounded default capacity retries once with the exact count
+    when it overflows — callers never silently lose hits. (An explicit
+    capacity never retries: the caller asked for a hard bound.)"""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(41)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=100, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(40, 20, pool, 14)
+    query = _mk_index(20, 15, pool, 15)
+    q_hi, q_lo, q_valid = _query_block(query)
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    assert full.n_hits > 128
+    assert len(full.q) == full.n_hits  # default path returns everything
+
+    # explicit capacity: hard bound, overflow reported but not retried
+    caps = []
+    real = sp.inverted_sparse_hits
+
+    def spy(*a, **k):
+        caps.append(k["capacity"])
+        return real(*a, **k)
+
+    monkeypatch.setattr(sp, "inverted_sparse_hits", spy)
+    small = sparse_search(target, q_hi, q_lo, q_valid, capacity=128)
+    assert caps == [128]  # no retry for an explicit bound
+    assert small.n_hits == full.n_hits and len(small.q) == 128
