@@ -59,6 +59,21 @@ class InvertedIndex(NamedTuple):
             np.uint64
         )
 
+    def packed(self) -> np.ndarray:
+        """(N, 4) uint32 interleaved postings [hi, lo, tid, ab]: one
+        gather row fetches all four fields in 16 contiguous bytes
+        instead of four independent HBM gathers (the accumulate phase
+        is gather-bound — measured round 2)."""
+        return np.stack(
+            [
+                self.g_hi,
+                self.g_lo,
+                self.tid.astype(np.uint32),
+                self.ab.astype(np.uint32),
+            ],
+            axis=1,
+        )
+
     def with_buckets(self) -> "InvertedIndex":
         """Attach the bucket start table (computed on host, persisted).
 
@@ -143,6 +158,74 @@ def _bucketed_lower_bound(
     lo = jnp.take(bucket_starts, b)
     hi = jnp.take(bucket_starts, b + 1)
     return _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, span_steps)
+
+
+def _bisect_rounds_packed(g4, q_hi, q_lo, lo, hi, steps):
+    """Bisect against the interleaved (N, 4) posting array — one gather
+    row per round instead of two independent hi/lo gathers."""
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        row = jnp.take(g4, jnp.minimum(mid, g4.shape[0] - 1), axis=0)
+        mh, ml = row[..., 0], row[..., 1]
+        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_targets", "max_run", "span_steps", "bucket_shift"),
+)
+def inverted_pair_stats_packed(
+    g4,
+    bucket_starts,
+    q_hi,
+    q_lo,
+    q_valid,
+    *,
+    n_targets: int,
+    max_run: int,
+    span_steps: int,
+    bucket_shift: int = 48,
+):
+    """Dense stats over the interleaved (N, 4) posting array with the
+    bucketed lower bound — bit-equal to ``inverted_pair_stats``; every
+    probe and run step is a single 16-byte gather row."""
+    N = g4.shape[0]
+    b = (q_hi >> jnp.uint32(bucket_shift - 32)).astype(jnp.int32)
+    b = jnp.minimum(b, jnp.int32((1 << BUCKET_BITS) - 1))
+    lo = jnp.take(bucket_starts, b)
+    hi = jnp.take(bucket_starts, b + 1)
+    pos = _bisect_rounds_packed(g4, q_hi, q_lo, lo, hi, span_steps)
+
+    Q, S = q_hi.shape
+    qi = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0)
+    drop = jnp.int32(n_targets)
+
+    def body(r, carry):
+        counts, weights = carry
+        idx = jnp.minimum(pos + r, N - 1)
+        row = jnp.take(g4, idx, axis=0)  # (Q, S, 4) — one gather
+        match = (
+            q_valid
+            & (row[..., 0] == q_hi)
+            & (row[..., 1] == q_lo)
+            & (pos + r < N)
+        )
+        t = jnp.where(match, row[..., 2].astype(jnp.int32), drop)
+        counts = counts.at[qi, t].add(match.astype(jnp.int32), mode="drop")
+        weights = weights.at[qi, t].add(
+            jnp.where(match, row[..., 3].astype(jnp.int32), 0), mode="drop"
+        )
+        return counts, weights
+
+    counts = jnp.zeros((Q, n_targets), jnp.int32)
+    weights = jnp.zeros((Q, n_targets), jnp.int32)
+    counts = counts + (g4[0, 0] * jnp.uint32(0)).astype(jnp.int32)
+    weights = weights + (g4[0, 0] * jnp.uint32(0)).astype(jnp.int32)
+    counts, weights = jax.lax.fori_loop(0, max_run, body, (counts, weights))
+    return counts, weights
 
 
 @functools.partial(jax.jit, static_argnames=("n_targets", "max_run"))

@@ -166,3 +166,53 @@ def test_bucketed_lower_bound_bit_equal():
         )
         assert np.array_equal(np.asarray(n0), np.asarray(n1))
         assert np.array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_packed_engine_bit_equal():
+    """The interleaved (N,4) packed engine must match the plain engine
+    bit-for-bit."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.inverted import (
+        build_inverted_np,
+        inverted_pair_stats,
+        inverted_pair_stats_packed,
+    )
+
+    rng = np.random.default_rng(51)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=800, replace=False).astype(np.uint64)
+    )
+    T, S = 50, 24
+    ids = np.sort(rng.integers(0, len(pool), size=(T, S)), axis=1)
+    keep = np.ones_like(ids, bool)
+    keep[:, 1:] = ids[:, 1:] != ids[:, :-1]
+    counts = keep.sum(axis=1)
+    mins = pool[ids[keep]]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    ab = rng.integers(1, 9, size=len(mins)).astype(np.int64)
+    inv = build_inverted_np(mins, ab, offsets)
+
+    q_ids = np.sort(rng.integers(0, len(pool), size=(12, S)), axis=1)
+    qk = np.ones_like(q_ids, bool)
+    qk[:, 1:] = q_ids[:, 1:] != q_ids[:, :-1]
+    q64 = np.where(qk, pool[q_ids], np.uint64(2**64 - 1))
+    q_hi = jnp.asarray((q64 >> np.uint64(32)).astype(np.uint32))
+    q_lo = jnp.asarray((q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    q_valid = jnp.asarray(qk)
+
+    n0, w0 = inverted_pair_stats(
+        jnp.asarray(inv.g_hi), jnp.asarray(inv.g_lo),
+        jnp.asarray(inv.tid), jnp.asarray(inv.ab),
+        q_hi, q_lo, q_valid,
+        n_targets=inv.n_targets, max_run=inv.max_run,
+    )
+    n1, w1 = inverted_pair_stats_packed(
+        jnp.asarray(inv.packed()), jnp.asarray(inv.bucket_starts),
+        q_hi, q_lo, q_valid,
+        n_targets=inv.n_targets, max_run=inv.max_run,
+        span_steps=max(int(inv.max_span).bit_length(), 1),
+        bucket_shift=inv.bucket_shift,
+    )
+    assert np.array_equal(np.asarray(n0), np.asarray(n1))
+    assert np.array_equal(np.asarray(w0), np.asarray(w1))
