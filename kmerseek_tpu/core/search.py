@@ -326,9 +326,15 @@ def manysearch(
     cont_l = containment[kept].tolist()
     ctq_l = c_tq[kept].tolist()
     # scalar libm exp/log — keeps the golden CSV strings bit-exact
-    # (numpy's SIMD transcendentals can differ in the last ulp)
-    ani_q_l = [_ani(c, k3) for c in cont_l]
-    ani_t_l = [_ani(c, k3) for c in ctq_l]
+    # (numpy's SIMD transcendentals can differ in the last ulp); the
+    # distinct containment values are few (count/size rationals), so
+    # compute each once and look the rows up
+    ani_map = {
+        c: _ani(c, k3)
+        for c in np.unique(np.concatenate([containment[kept], c_tq[kept]])).tolist()
+    }
+    ani_q_l = [ani_map[c] for c in cont_l]
+    ani_t_l = [ani_map[c] for c in ctq_l]
     inter_l = js.seg_n[kept].tolist()
     jac_l = jaccard[kept].tolist()
     mean_l = mean[kept].tolist()

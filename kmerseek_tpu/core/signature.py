@@ -38,12 +38,13 @@ def minhash_ksize(protein_ksize: int) -> int:
 
 
 def sourmash_md5(mins: Sequence[int], protein_ksize: int) -> str:
-    """sourmash KmerMinHash md5: md5(str(3k) + ''.join(str(min)))."""
-    m = hashlib.md5()
-    m.update(str(minhash_ksize(protein_ksize)).encode())
-    for x in np.asarray(mins, dtype=np.uint64):
-        m.update(str(int(x)).encode())
-    return m.hexdigest()
+    """sourmash KmerMinHash md5: md5(str(3k) + ''.join(str(min))).
+
+    The digest input is built as one joined string — per-min hash
+    updates cost ~1M C calls per 20k-signature corpus."""
+    arr = np.asarray(mins, dtype=np.uint64)
+    blob = str(minhash_ksize(protein_ksize)) + "".join(map(str, arr.tolist()))
+    return hashlib.md5(blob.encode()).hexdigest()
 
 
 def mins_sum_hex(mins: Sequence[int]) -> str:
