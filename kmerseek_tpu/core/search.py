@@ -586,12 +586,16 @@ def _format_value(v) -> str:
     return str(v)
 
 
-def rows_to_csv(rows: Sequence[Dict], columns: Sequence[str]) -> str:
-    buf = io.StringIO()
-    w = csv.writer(buf, lineterminator="\n")
+def _write_rows(fh, rows: Sequence[Dict], columns: Sequence[str]) -> None:
+    w = csv.writer(fh, lineterminator="\n")
     w.writerow(columns)
     for r in rows:
         w.writerow([_format_value(r[c]) for c in columns])
+
+
+def rows_to_csv(rows: Sequence[Dict], columns: Sequence[str]) -> str:
+    buf = io.StringIO()
+    _write_rows(buf, rows, columns)
     return buf.getvalue()
 
 
@@ -600,10 +604,11 @@ def write_search_csv(
     columns: Sequence[str],
     filename: Optional[str] = None,
 ) -> None:
-    data = rows_to_csv(rows, columns)
+    """Stream rows to stdout/file — never materializes the whole CSV
+    (multi-million-row outputs would be ~GB strings)."""
     if filename is None:
-        sys.stdout.write(data)
+        _write_rows(sys.stdout, rows, columns)
         sys.stdout.flush()
     else:
-        with open(filename, "w") as f:
-            f.write(data)
+        with open(filename, "w", newline="") as f:
+            _write_rows(f, rows, columns)
