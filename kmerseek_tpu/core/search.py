@@ -386,16 +386,6 @@ def multisearch(
     (do_multisearch variant, search.py:144-158 — available but unused
     by the reference CLI)."""
     k3 = minhash_ksize(query.config.ksize)
-
-    # database hash statistics over the target sketches (vectorized:
-    # unique over all postings → per-hash document frequency + summed
-    # abundance, queried by searchsorted)
-    db_hashes, inverse = np.unique(target.mins, return_inverse=True)
-    df_arr = np.bincount(inverse, minlength=len(db_hashes))
-    db_ab_arr = np.bincount(
-        inverse, weights=target.abundances.astype(np.float64), minlength=len(db_hashes)
-    )
-    sum_db_ab = float(db_ab_arr.sum())
     n_targets = len(target)
     n_comparisons = float(len(query) * n_targets)
 
@@ -404,6 +394,20 @@ def multisearch(
     js = _host_join(query, target, inner="hash")
     if js.total == 0:
         return []
+
+    # database hash statistics straight off the (already sorted)
+    # inverted posting array: run-length boundaries give per-hash
+    # document frequency + summed abundance — no re-sort of the corpus
+    inv = target.inverted
+    g = inv.g64()
+    first = np.empty(len(g), bool)
+    first[0] = True
+    first[1:] = g[1:] != g[:-1]
+    run_starts = np.flatnonzero(first)
+    db_hashes = g[run_starts]
+    df_arr = np.diff(np.append(run_starts, len(g)))
+    db_ab_arr = np.add.reduceat(inv.ab.astype(np.float64), run_starts)
+    sum_db_ab = float(db_ab_arr.sum())
     weighted = np.add.reduceat(js.pab, js.starts)
     _validate_with_device(query, target, js, weighted)
 
