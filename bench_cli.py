@@ -48,15 +48,24 @@ def main():
                 with tempfile.TemporaryDirectory() as tmp:
                     fasta = os.path.join(tmp, os.path.basename(src))
                     shutil.copy(src, fasta)
-                    import resource
-
-                    rss_before = resource.getrusage(
-                        resource.RUSAGE_CHILDREN
-                    ).ru_maxrss
+                    # per-child peak RSS (reference: /usr/bin/time -l,
+                    # benchmark_cli.rs:55-87): the child reports its own
+                    # RUSAGE_SELF high-water mark at exit —
+                    # RUSAGE_CHILDREN in the parent would be a
+                    # cross-config cumulative maximum
+                    wrapper = (
+                        "import sys, runpy, resource, atexit\n"
+                        "atexit.register(lambda: print('KS_RSS_KIB',"
+                        " resource.getrusage(resource.RUSAGE_SELF).ru_maxrss,"
+                        " file=sys.stderr))\n"
+                        "sys.argv = ['kmerseek'] + sys.argv[1:]\n"
+                        "runpy.run_module('kmerseek_tpu.main',"
+                        " run_name='__main__')\n"
+                    )
                     t0 = time.perf_counter()
                     r = subprocess.run(
                         [
-                            sys.executable, "-m", "kmerseek_tpu.main", "index",
+                            sys.executable, "-c", wrapper, "index",
                             "--moltype", moltype, "--ksize", str(k), fasta,
                         ],
                         capture_output=True,
@@ -66,12 +75,10 @@ def main():
                         timeout=600,
                     )
                     dt = time.perf_counter() - t0
-                    # peak RSS of the CLI child (reference: /usr/bin/time -l,
-                    # benchmark_cli.rs:55-87); ru_maxrss is KiB on Linux
-                    rss_kib = resource.getrusage(
-                        resource.RUSAGE_CHILDREN
-                    ).ru_maxrss
-                    peak_rss = max(rss_kib, rss_before)
+                    peak_rss = None
+                    for line in r.stderr.splitlines():
+                        if line.startswith("KS_RSS_KIB "):
+                            peak_rss = int(line.split()[1])
                     sig = f"{fasta}.{moltype}.k{k}.scaled5.sig.zip"
                     ksx = f"{sig}.ksx"
                     print(

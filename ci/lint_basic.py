@@ -13,7 +13,8 @@ import pathlib
 import sys
 
 ROOTS = ["kmerseek_tpu", "tests", "bench.py", "bench_search.py",
-         "bench_micro.py", "__graft_entry__.py", "ci"]
+         "bench_micro.py", "bench_cli.py", "__graft_entry__.py", "ci",
+         "examples"]
 
 # names whose import is a deliberate side effect / re-export
 ALLOW_UNUSED = {"annotations"}

@@ -123,6 +123,11 @@ def search(
     force,
 ):
     """Search for k-mers in target sequences (search.py:287-373 contract)."""
+    if annotate_domains and not extract_kmers:
+        raise click.UsageError(
+            "--annotate-domains requires --extract-kmers (domains are "
+            "looked up for stitched match intervals)"
+        )
     setup_logging(debug)
     from .utils.device import ensure_usable_backend
 

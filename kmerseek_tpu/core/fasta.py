@@ -222,24 +222,40 @@ def prefetch(iterable, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()  # consumer abandoned: unblock + exit producer
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return  # consumer gone — release the source promptly
+            _put(_END)
         except BaseException as e:  # re-raised on the consumer side
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # GeneratorExit / consumer exception: stop the producer so the
+        # thread (and its open file handle) doesn't leak
+        stop.set()
 
 
 def length_buckets(

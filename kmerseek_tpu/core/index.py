@@ -537,6 +537,31 @@ class ProteomeIndex:
             inv = InvertedIndex(
                 iz["g_hi"], iz["g_lo"], iz["tid"], iz["ab"], n_targets, max_run
             )
+            # derived-state consistency: the postings must be a
+            # permutation of the CSR arrays (guards stale/truncated
+            # inverted.npz next to a rewritten arrays.npz — both the
+            # host join and the device cross-check read these postings,
+            # so corruption here would otherwise validate against
+            # itself). Order-independent O(N) sums catch length,
+            # content, and pairing drift.
+            ok = (
+                len(inv.g_hi) == len(idx.mins)
+                and n_targets == len(idx)
+                and int(inv.ab.sum(dtype=np.int64))
+                == int(idx.abundances.sum(dtype=np.int64))
+                and int(inv.g64().sum(dtype=np.uint64))
+                == int(idx.mins.sum(dtype=np.uint64))
+            )
+            if not ok:
+                from ..utils.logging import logger
+
+                logger.warning(
+                    "persisted inverted index at %s is inconsistent with "
+                    "the sketch arrays — rebuilding postings",
+                    inv_path,
+                )
+                idx._inverted = None  # lazy rebuild from CSR arrays
+                return idx
             if "bucket_starts" in iz.files and len(shape) >= 4:
                 inv = inv._replace(
                     bucket_starts=iz["bucket_starts"],

@@ -540,6 +540,12 @@ def _as_index(obj, ksize=None, scaled=None, moltype=None) -> ProteomeIndex:
             f"(moltype={moltype}, ksize={ksize}, scaled={scaled}); "
             f"archive has {have}"
         )
+    params = sorted({(s.moltype, s.ksize, s.scaled) for s in selected})
+    if len(params) > 1:
+        raise ValueError(
+            f"{obj} holds signatures with several sketch parameter sets "
+            f"{params}; pass explicit moltype/ksize/scaled to select one"
+        )
     return ProteomeIndex.from_signatures(selected)
 
 

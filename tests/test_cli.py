@@ -226,3 +226,12 @@ def test_index_cli_side_artifacts(workdir):
     sig = f"{bcl2}.hp.k16.scaled5.sig.zip"
     with open(f"{sig}.siglist") as f:
         assert f.readlines() == [sig]  # no trailing newline
+
+
+def test_annotate_domains_requires_extract_kmers(workdir):
+    tmp, ced9, bcl2 = workdir
+    result = _run(
+        ["search", "--annotate-domains", "/tmp/x.xml", ced9, bcl2], tmp
+    )
+    assert result.returncode != 0
+    assert "requires --extract-kmers" in result.stderr + result.stdout

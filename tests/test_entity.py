@@ -181,3 +181,34 @@ def test_prefetch_orders_and_propagates_errors():
 
     with _pytest.raises(ValueError, match="producer broke"):
         list(it)
+
+
+def test_prefetch_producer_stops_when_abandoned():
+    """Abandoning the prefetch generator mid-stream must stop the
+    producer thread (it would otherwise block forever on the bounded
+    queue, leaking the thread and the open FASTA handle)."""
+    import threading
+    import time as _time
+
+    from kmerseek_tpu.core.fasta import prefetch
+
+    started = threading.Event()
+    finished = threading.Event()
+
+    def slow_source():
+        started.set()
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            finished.set()
+
+    gen = prefetch(slow_source(), depth=1)
+    assert next(gen) == 0
+    assert started.is_set()
+    gen.close()  # abandon
+    for _ in range(100):  # producer notices within ~0.1s polls
+        if finished.is_set():
+            break
+        _time.sleep(0.05)
+    assert finished.is_set()

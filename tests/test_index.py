@@ -253,3 +253,21 @@ def test_equivalence_includes_kmer_sidecar(tmp_path):
         tbl.schema.get_field_index("start"), "start", pa.array(col, pa.uint32())
     )
     assert not a.is_equivalent_to(b)
+
+
+def test_corrupt_inverted_npz_rebuilt_on_load(tmp_path, caplog):
+    """A stale inverted.npz (inconsistent with arrays.npz) must be
+    detected at load and rebuilt from the CSR arrays — not trusted."""
+    sigs = _sig_pair()
+    idx = ProteomeIndex.from_signatures(sigs, IndexConfig(16, 5, "hp"))
+    path = str(tmp_path / "c.ksx")
+    idx.save(path)
+    inv_path = os.path.join(path, "inverted.npz")
+    iz = dict(np.load(inv_path))
+    iz["g_lo"] = iz["g_lo"].copy()
+    iz["g_lo"][0] ^= 1  # flip a posting bit: sums no longer match
+    np.savez_compressed(inv_path, **iz)
+    loaded = ProteomeIndex.load(path)
+    assert loaded._inverted is None  # rejected, lazily rebuilt
+    inv = loaded.inverted
+    assert np.array_equal(inv.g64(), np.sort(idx.mins))
