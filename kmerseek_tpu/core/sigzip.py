@@ -134,6 +134,17 @@ def read_sig_zip(path: str) -> List[Signature]:
                 for inner in obj.get("signatures", []):
                     mk = inner["ksize"]
                     moltype = inner.get("molecule", "protein")
+                    if moltype not in ("protein", "dayhoff", "hp"):
+                        # sourmash archives may also carry DNA sketches;
+                        # the protein ksize×3 convention doesn't apply —
+                        # skip them rather than mis-decode
+                        from ..utils.logging import logger
+
+                        logger.warning(
+                            "skipping non-protein sketch (molecule=%s) "
+                            "in %s", moltype, path,
+                        )
+                        continue
                     scaled = _scaled_from_max_hash(inner.get("max_hash", 0))
                     out.append(
                         Signature(

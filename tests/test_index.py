@@ -271,3 +271,54 @@ def test_corrupt_inverted_npz_rebuilt_on_load(tmp_path, caplog):
     assert loaded._inverted is None  # rejected, lazily rebuilt
     inv = loaded.inverted
     assert np.array_equal(inv.g64(), np.sort(idx.mins))
+
+
+def test_sig_zip_reader_skips_dna_sketches(tmp_path):
+    """sourmash archives can mix DNA sketches in; the protein ksize/3
+    convention doesn't apply to them — they're skipped, not mis-read."""
+    import gzip
+    import json
+    import zipfile
+
+    from kmerseek_tpu.core.sigzip import read_sig_zip
+
+    payload = [
+        {
+            "class": "sourmash_signature",
+            "email": "",
+            "hash_function": "0.murmur64",
+            "filename": "x.fa",
+            "name": "dna-thing",
+            "license": "CC0",
+            "signatures": [
+                {
+                    "num": 0,
+                    "ksize": 31,
+                    "seed": 42,
+                    "max_hash": 0,
+                    "mins": [1, 2, 3],
+                    "md5sum": "00",
+                    "abundances": [1, 1, 1],
+                    "molecule": "DNA",
+                },
+                {
+                    "num": 0,
+                    "ksize": 48,
+                    "seed": 42,
+                    "max_hash": 0,
+                    "mins": [9, 10],
+                    "md5sum": "01",
+                    "abundances": [1, 1],
+                    "molecule": "hp",
+                },
+            ],
+        }
+    ]
+    p = str(tmp_path / "mixed_mol.sig.zip")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr(
+            "signatures/00.sig.gz", gzip.compress(json.dumps(payload).encode())
+        )
+    sigs = read_sig_zip(p)
+    assert len(sigs) == 1
+    assert sigs[0].moltype == "hp" and sigs[0].ksize == 16
