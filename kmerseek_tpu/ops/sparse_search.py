@@ -75,6 +75,7 @@ def inverted_sparse_hits(
     span_steps: int = 0,
     bucket_shift: int = 48,
     bucket_starts=None,
+    run_offset=0,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
@@ -83,6 +84,14 @@ def inverted_sparse_hits(
     order; slots beyond the hit count hold q = Q sentinels. With
     ``bucket_starts`` + ``span_steps`` the probe uses the bucketed
     lower bound (fewer HBM gather rounds).
+
+    ``run_offset`` shifts the probe window within each posting run:
+    the kernel examines run elements [run_offset, run_offset+max_run).
+    Elements past a run's true end stop matching on the hash compare,
+    so a caller can tile arbitrarily long runs with several calls and
+    merge the partial hit lists (``sparse_search`` does; that bounds
+    the tuple expansion for corpora whose worst hash occurs in huge
+    numbers of targets).
     """
     Q, S = q_hi.shape
     N = g_hi.shape[0]
@@ -95,7 +104,7 @@ def inverted_sparse_hits(
 
     # expand runs: (max_run, Q, S) match tuples
     r = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 0)
-    p = pos[None, :, :] + r
+    p = pos[None, :, :] + jnp.int32(run_offset) + r
     idx = jnp.minimum(p, N - 1)
     mh = jnp.take(g_hi, idx)
     ml = jnp.take(g_lo, idx)
@@ -131,6 +140,106 @@ def inverted_sparse_hits(
     return q_out, t_out, counts, weights, n_hits
 
 
+# per-kernel-call cap on the run expansion's leading dimension: corpora
+# whose worst hash occurs in more targets than this are probed in
+# ``_RUN_TILE``-wide offset windows and the partial hit lists merged on
+# host — kernel memory stays O(Q·S·_RUN_TILE) no matter how pathological
+# the posting runs are
+_RUN_TILE = 2048
+
+
+def _sparse_single(
+    inv: InvertedIndex,
+    q_hi,
+    q_lo,
+    q_valid,
+    capacity: int | None,
+    max_run: int,
+    run_offset: int = 0,
+) -> SparseHits:
+    """One kernel invocation (+ one exact-capacity retry on overflow)."""
+    Q, S = np.asarray(q_hi).shape
+    retry_on_overflow = capacity is None
+    if capacity is None:
+        # worst case (every probed posting a distinct pair) can be huge;
+        # start bounded — the kernel reports the true hit count, so one
+        # exact-capacity retry covers the rare overflow
+        capacity = min(Q * S * max_run, 4 * 1024 * 1024)
+    capacity = max(((capacity + 127) // 128) * 128, 128)
+    inv = inv.with_buckets()
+
+    def run(cap: int):
+        return inverted_sparse_hits(
+            jnp.asarray(inv.g_hi),
+            jnp.asarray(inv.g_lo),
+            jnp.asarray(inv.tid),
+            jnp.asarray(inv.ab),
+            q_hi,
+            q_lo,
+            q_valid,
+            n_targets=inv.n_targets,
+            max_run=max_run,
+            capacity=cap,
+            span_steps=max(int(inv.max_span).bit_length(), 1),
+            bucket_shift=inv.bucket_shift,
+            bucket_starts=jnp.asarray(inv.bucket_starts),
+            run_offset=run_offset,
+        )
+
+    q_out, t_out, counts, weights, n_hits = run(int(capacity))
+    n = int(n_hits)
+    if retry_on_overflow and n > capacity:
+        capacity = ((n + 127) // 128) * 128
+        q_out, t_out, counts, weights, n_hits = run(int(capacity))
+        n = int(n_hits)
+    h = min(n, int(capacity))
+    return SparseHits(
+        np.asarray(q_out)[:h],
+        np.asarray(t_out)[:h],
+        np.asarray(counts)[:h],
+        np.asarray(weights)[:h].astype(np.int64),
+        n,
+    )
+
+
+def _merge_partial_hits(parts: list, capacity: int | None) -> SparseHits:
+    """Sum partial hit lists produced by run-offset tiling.
+
+    The same (q, t) pair can surface in several tiles (its shared
+    hashes' runs straddle tile boundaries), so this is an additive
+    merge: lexsort by (q, t), segment, sum counts/weights. Output stays
+    (q, t)-ascending; ``capacity`` (if given) trims the merged list
+    while ``n_hits`` keeps the true unique-pair count."""
+    q = np.concatenate([p.q for p in parts])
+    t = np.concatenate([p.t for p in parts])
+    count = np.concatenate([p.count for p in parts])
+    weight = np.concatenate([p.weight for p in parts])
+    if len(q) == 0:
+        return SparseHits(q, t, count, weight.astype(np.int64), 0)
+    order = np.lexsort((t, q))
+    q, t, count, weight = q[order], t[order], count[order], weight[order]
+    head = np.empty(len(q), bool)
+    head[0] = True
+    head[1:] = (q[1:] != q[:-1]) | (t[1:] != t[:-1])
+    starts = np.flatnonzero(head)
+    merged = SparseHits(
+        q[starts],
+        t[starts],
+        np.add.reduceat(count, starts).astype(np.int32),
+        np.add.reduceat(weight, starts).astype(np.int64),
+        len(starts),
+    )
+    if capacity is not None and len(starts) > capacity:
+        merged = SparseHits(
+            merged.q[:capacity],
+            merged.t[:capacity],
+            merged.count[:capacity],
+            merged.weight[:capacity],
+            merged.n_hits,
+        )
+    return merged
+
+
 def sparse_search(
     index,
     q_hi,
@@ -138,6 +247,7 @@ def sparse_search(
     q_valid,
     capacity: int | None = None,
     q_chunk: int | None = None,
+    run_chunk: int | None = None,
 ) -> SparseHits:
     """ProteomeIndex + device query block → trimmed sparse hit list.
 
@@ -150,6 +260,12 @@ def sparse_search(
     large query blocks: queries are processed in fixed-size chunks (one
     compiled program, last chunk padded) and the per-chunk hit lists
     concatenate — (q, t) order is preserved because chunks ascend in q.
+
+    ``run_chunk`` (default ``_RUN_TILE``) bounds the expansion in the
+    *run* dimension: when the corpus' longest posting run exceeds it,
+    runs are probed in offset windows and the partial lists merged
+    additively on host — a hash present in a million targets no longer
+    inflates kernel memory.
     """
     inv = getattr(index, "inverted", None)
     if not isinstance(inv, InvertedIndex):
@@ -174,7 +290,7 @@ def sparse_search(
             cv = np.pad(q_valid_np[lo:hi], ((0, pad), (0, 0)), constant_values=False)
             h = sparse_search(
                 index, _jnp.asarray(ch), _jnp.asarray(cl), _jnp.asarray(cv),
-                capacity=capacity,
+                capacity=capacity, run_chunk=run_chunk,
             )
             parts.append(h._replace(q=h.q + np.int32(lo)))
             n_total += h.n_hits
@@ -185,43 +301,18 @@ def sparse_search(
             np.concatenate([p.weight for p in parts]),
             n_total,
         )
-    retry_on_overflow = capacity is None
-    if capacity is None:
-        # worst case (every probed posting a distinct pair) can be huge;
-        # start bounded — the kernel reports the true hit count, so one
-        # exact-capacity retry covers the rare overflow
-        capacity = min(Q * S * inv.max_run, 4 * 1024 * 1024)
-    capacity = max(((capacity + 127) // 128) * 128, 128)
-    inv = inv.with_buckets()
-
-    def run(cap: int):
-        return inverted_sparse_hits(
-            jnp.asarray(inv.g_hi),
-            jnp.asarray(inv.g_lo),
-            jnp.asarray(inv.tid),
-            jnp.asarray(inv.ab),
-            q_hi,
-            q_lo,
-            q_valid,
-            n_targets=inv.n_targets,
-            max_run=inv.max_run,
-            capacity=cap,
-            span_steps=max(int(inv.max_span).bit_length(), 1),
-            bucket_shift=inv.bucket_shift,
-            bucket_starts=jnp.asarray(inv.bucket_starts),
-        )
-
-    q_out, t_out, counts, weights, n_hits = run(int(capacity))
-    n = int(n_hits)
-    if retry_on_overflow and n > capacity:
-        capacity = ((n + 127) // 128) * 128
-        q_out, t_out, counts, weights, n_hits = run(int(capacity))
-        n = int(n_hits)
-    h = min(n, int(capacity))
-    return SparseHits(
-        np.asarray(q_out)[:h],
-        np.asarray(t_out)[:h],
-        np.asarray(counts)[:h],
-        np.asarray(weights)[:h].astype(np.int64),
-        n,
+    tile = run_chunk if run_chunk is not None else _RUN_TILE
+    if inv.max_run > tile:
+        # run-offset tiling: exact per-tile lists (auto capacity +
+        # overflow retry), additive host merge
+        parts = [
+            _sparse_single(
+                inv, q_hi, q_lo, q_valid,
+                capacity=None, max_run=tile, run_offset=off,
+            )
+            for off in range(0, inv.max_run, tile)
+        ]
+        return _merge_partial_hits(parts, capacity)
+    return _sparse_single(
+        inv, q_hi, q_lo, q_valid, capacity=capacity, max_run=inv.max_run
     )

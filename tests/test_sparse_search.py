@@ -158,6 +158,74 @@ def test_chunked_query_blocks_bit_equal():
     assert np.array_equal(chunked.weight, full.weight)
 
 
+def test_run_chunk_tiling_bit_equal():
+    """A pathological hash shared by hundreds of targets inflates
+    max_run; run-offset tiling (run_chunk) must merge the partial hit
+    lists to the exact untiled result — kernel memory stays
+    O(Q*S*run_chunk) regardless of the worst posting run."""
+    from kmerseek_tpu.ops.inverted import inverted_search
+
+    rng = np.random.default_rng(71)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(250, 10, pool, 16)
+    # plant one hash into EVERY target: its posting run spans all 250
+    common = pool[0]
+    mins, ab = [], []
+    for i in range(len(target)):
+        row = target.mins[target.offsets[i]:target.offsets[i + 1]]
+        rab = target.abundances[target.offsets[i]:target.offsets[i + 1]]
+        if common not in row:
+            j = int(np.searchsorted(row, common))
+            row = np.insert(row, j, common)
+            rab = np.insert(rab, j, 2)
+        mins.append(row)
+        ab.append(rab)
+    counts = np.array([len(r) for r in mins])
+    target = ProteomeIndex(
+        target.config,
+        list(target.names),
+        np.concatenate(mins),
+        np.concatenate(ab),
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int64),
+    )
+    assert target.inverted.max_run >= 250
+
+    query = _mk_index(12, 8, pool, 17)
+    # make sure at least one query probes the pathological run
+    qm = query.mins.copy()
+    qm[query.offsets[0]] = common
+    qm[query.offsets[0]:query.offsets[1]] = np.sort(
+        qm[query.offsets[0]:query.offsets[1]]
+    )
+    query = ProteomeIndex(
+        query.config, list(query.names), qm, query.abundances, query.offsets
+    )
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    tiled = sparse_search(target, q_hi, q_lo, q_valid, run_chunk=16)
+    assert tiled.n_hits == full.n_hits
+    assert np.array_equal(tiled.q, full.q)
+    assert np.array_equal(tiled.t, full.t)
+    assert np.array_equal(tiled.count, full.count)
+    assert np.array_equal(tiled.weight, full.weight)
+    # and against the dense engine
+    nd, wd = inverted_search(target, q_hi, q_lo, q_valid)
+    ns, ws = _densify(tiled, len(query), len(target))
+    assert np.array_equal(ns, np.asarray(nd))
+    assert np.array_equal(ws, np.asarray(wd))
+    # explicit capacity trims the merged list but reports the true count
+    trimmed = sparse_search(
+        target, q_hi, q_lo, q_valid, capacity=64, run_chunk=16
+    )
+    assert trimmed.n_hits == full.n_hits
+    assert len(trimmed.q) == 64
+    assert np.array_equal(trimmed.q, full.q[:64])
+    assert np.array_equal(trimmed.count, full.count[:64])
+
+
 def test_default_capacity_retries_on_overflow(monkeypatch):
     """The bounded default capacity retries once with the exact count
     when it overflows — callers never silently lose hits. (An explicit
