@@ -336,3 +336,87 @@ def test_do_search_mixed_archive_requires_params(ced9_vs_bcl2, tmp_path):
     write_sig_zip(mz, sigs)
     with pytest.raises(ValueError, match="several sketch parameter sets"):
         kmerseek_tpu.do_manysearch(mz, mz, str(tmp_path / "o.csv"))
+
+
+def test_columns_mode_byte_equal_csv(ced9_vs_bcl2, tmp_path):
+    """The column-native output mode (ROADMAP #7) must produce the
+    byte-identical CSV to the rows path, for both search flavors."""
+    from kmerseek_tpu.core.search import (
+        manysearch_columns,
+        multisearch_columns,
+        write_search_csv_columns,
+    )
+
+    query, target = ced9_vs_bcl2
+    for cols_fn, rows_fn, columns in [
+        (manysearch_columns, manysearch, MANYSEARCH_COLUMNS),
+        (multisearch_columns, multisearch, MULTISEARCH_COLUMNS),
+    ]:
+        cols = cols_fn(query, target)
+        assert list(cols.keys()) == columns
+        rows = rows_fn(query, target)
+        p = tmp_path / "cols.csv"
+        write_search_csv_columns(cols, str(p))
+        assert p.read_text() == rows_to_csv(rows, columns)
+
+    # empty result: header-only CSV, keyed columns
+    empty_q = ProteomeIndex(
+        query.config, ["solo"],
+        np.array([12345], np.uint64), np.array([1], np.int64),
+        np.array([0, 1], np.int64),
+    )
+    cols = manysearch_columns(empty_q, target)
+    assert list(cols.keys()) == MANYSEARCH_COLUMNS
+    assert all(v == [] for v in cols.values())
+    p = tmp_path / "empty.csv"
+    write_search_csv_columns(cols, str(p))
+    assert p.read_text() == ",".join(MANYSEARCH_COLUMNS) + "\n"
+
+
+def test_multisearch_columns_no_prob_subset(ced9_vs_bcl2):
+    from kmerseek_tpu.core.search import multisearch_columns
+
+    query, target = ced9_vs_bcl2
+    cols = multisearch_columns(query, target, estimate_prob_overlap=False)
+    assert list(cols.keys()) == MULTISEARCH_COLUMNS[:11]
+
+
+def test_csv_columns_quoting_byte_equal():
+    """Manual minimal-quoting must match csv.writer byte-for-byte on
+    adversarial names (commas, quotes, newlines) and float formats."""
+    from kmerseek_tpu.core.search import write_search_csv_columns
+
+    names = ['plain', 'with,comma', 'with "quote"', 'line\nbreak',
+             'cr\rhere', 'both,"x"', '']
+    floats = [0.0, 1.0, 0.1, 1e-05, 1.5e16, 2 / 3, 1e300, 5e-324]
+    m = max(len(names), len(floats))
+    cols = {"match_name": (names + ["pad"] * m)[:m],
+            "containment": (floats + [0.5] * m)[:m],
+            "intersect_hashes": list(range(m))}
+    rows = [dict(zip(cols.keys(), v)) for v in zip(*cols.values())]
+    expect = rows_to_csv(rows, list(cols.keys()))
+    import tempfile, os
+    fn = tempfile.mktemp()
+    try:
+        write_search_csv_columns(cols, fn)
+        got = open(fn, newline="").read()
+    finally:
+        os.unlink(fn)
+    assert got == expect
+
+
+def test_do_manysearch_parquet_output(ced9_vs_bcl2, tmp_path):
+    """.parquet/.pq output extension selects the binary production
+    path; values round-trip exactly (binary doubles, no text loss)."""
+    import pyarrow.parquet as pq
+
+    from kmerseek_tpu.core.search import do_manysearch
+
+    query, target = ced9_vs_bcl2
+    out = str(tmp_path / "hits.parquet")
+    rows = do_manysearch(query, target, out)
+    table = pq.read_table(out)
+    assert table.column_names == MANYSEARCH_COLUMNS
+    assert table.num_rows == len(rows) == 5
+    got = table.to_pylist()
+    assert got == rows
