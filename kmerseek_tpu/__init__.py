@@ -17,7 +17,16 @@ def __getattr__(name):
         from .core import index as _index
 
         return getattr(_index, name)
-    if name in ("manysearch", "multisearch", "do_manysearch", "do_multisearch"):
+    if name in (
+        "manysearch",
+        "multisearch",
+        "do_manysearch",
+        "do_multisearch",
+        "manysearch_columns",
+        "multisearch_columns",
+        "write_search_csv_columns",
+        "write_search_parquet",
+    ):
         from .core import search as _search
 
         return getattr(_search, name)
