@@ -102,6 +102,18 @@ def index(fasta, moltype, ksize, scaled, extract_kmers, profile, debug, force):
         "Requires --extract-kmers"
     ),
 )
+@click.option(
+    "--stitch-per-query",
+    is_flag=True,
+    default=False,
+    help=(
+        "Group stitched rows by (match, query) pair instead of the "
+        "reference's match-name-only grouping (which interleaves "
+        "different queries' k-mers into one row when several queries "
+        "hit the same target, search.py:222-240). Off by default for "
+        "output parity"
+    ),
+)
 @click.option("--debug", is_flag=True, help="Enable debug logging")
 @click.option(
     "--force",
@@ -119,6 +131,7 @@ def search(
     output,
     sourmash_search_csv,
     annotate_domains,
+    stitch_per_query,
     debug,
     force,
 ):
@@ -160,7 +173,10 @@ def search(
 
     if extract_kmers:
         stitched, report = stitch_results(
-            rows, query.kmers_dataframe, target.kmers_dataframe
+            rows,
+            query.kmers_dataframe,
+            target.kmers_dataframe,
+            group_by_pair=stitch_per_query,
         )
         click.echo(report, err=True)
         sys.stderr.flush()

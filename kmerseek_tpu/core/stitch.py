@@ -125,7 +125,7 @@ def join_query_target_kmers(
     return q.merge(t, on=["encoded", "hashval"], how="inner")
 
 
-def _stitch_segments(merged: pd.DataFrame) -> list:
+def _stitch_segments(merged: pd.DataFrame, group_by_pair: bool = False) -> list:
     """Per-group stitching without pandas groupby-apply overhead.
 
     Groups (match_name, first-occurrence order — pandas
@@ -133,10 +133,20 @@ def _stitch_segments(merged: pd.DataFrame) -> list:
     with ``factorize`` + one stable lexsort that also applies the
     within-group ``start_query`` mergesort; the stitch loop then runs
     over plain Python lists. Same rows as ``stitch_group`` per group,
-    ~30x less per-group overhead at proteome scale."""
+    ~30x less per-group overhead at proteome scale.
+
+    ``group_by_pair`` groups by (match_name, query_name) instead of
+    the reference's match_name-only quirk — with several queries, the
+    quirk interleaves different queries' k-mers into one stitched row
+    (search.py:222-240); the pair grouping keeps each query's match
+    separate. Off by default for byte parity."""
     import numpy as np
 
     codes, _uniq = pd.factorize(merged["match_name"], sort=False)
+    if group_by_pair:
+        qcodes, quniq = pd.factorize(merged["query_name"], sort=False)
+        pair_key = codes.astype(np.int64) * (len(quniq) + 1) + qcodes
+        codes, _uniq = pd.factorize(pair_key, sort=False)
     start_query = merged["start_query"].to_numpy()
     # lexsort is stable: primary key codes (first-occurrence group
     # order), secondary start_query, original order breaking ties —
@@ -198,8 +208,12 @@ def stitch_results(
     search_rows: Sequence[Dict],
     query_kmers: pd.DataFrame,
     target_kmers: pd.DataFrame,
+    group_by_pair: bool = False,
 ) -> Tuple[pd.DataFrame, str]:
-    """Full post-processing: returns (stitched df, stderr report text)."""
+    """Full post-processing: returns (stitched df, stderr report text).
+
+    ``group_by_pair=True`` opts out of the reference's match_name-only
+    grouping quirk (see ``_stitch_segments``)."""
     results = pd.DataFrame(
         [
             {"match_name": r["match_name"], "query_name": r["query_name"]}
@@ -215,7 +229,7 @@ def stitch_results(
     )
     if merged.empty:
         return pd.DataFrame(columns=STITCH_COLUMNS), ""
-    stitched = pd.DataFrame(_stitch_segments(merged)).sort_values(
+    stitched = pd.DataFrame(_stitch_segments(merged, group_by_pair)).sort_values(
         ["query_start", "query_end"], kind="mergesort"
     )
     report = "\n".join(stitched["to_print"]) + "\n"

@@ -212,3 +212,45 @@ def test_prefetch_producer_stops_when_abandoned():
             break
         _time.sleep(0.05)
     assert finished.is_set()
+
+
+def test_stitch_group_by_pair_separates_queries():
+    """Reference quirk: grouping by match_name only interleaves k-mers
+    from different queries hitting the same target into ONE stitched
+    row (search.py:222-240). group_by_pair=True opts into per-(match,
+    query) rows; default stays quirk-compatible."""
+    import pandas as pd
+
+    from kmerseek_tpu.core.stitch import stitch_results
+
+    def kdf(rows):
+        return pd.DataFrame(
+            rows,
+            columns=["kmer", "start", "sequence_name", "sequence_file",
+                     "encoded", "hashval"],
+        )
+
+    target_kmers = kdf([
+        ("AAAAA", 0, "M", "t.fa", "hhhhh", 1),
+        ("CCCCC", 10, "M", "t.fa", "ppppp", 2),
+    ])
+    query_kmers = kdf([
+        ("AAAAA", 0, "QA", "q.fa", "hhhhh", 1),
+        ("CCCCC", 5, "QB", "q.fa", "ppppp", 2),
+    ])
+    rows = [
+        {"match_name": "M", "query_name": "QA"},
+        {"match_name": "M", "query_name": "QB"},
+    ]
+
+    merged_df, _rep = stitch_results(rows, query_kmers, target_kmers)
+    assert len(merged_df) == 1  # quirk: one row mixing QA and QB
+    assert merged_df.iloc[0]["query_name"] == "QA"
+    assert merged_df.iloc[0]["length"] == 10
+
+    per_pair, _rep2 = stitch_results(
+        rows, query_kmers, target_kmers, group_by_pair=True
+    )
+    assert len(per_pair) == 2
+    assert set(per_pair["query_name"]) == {"QA", "QB"}
+    assert per_pair["length"].tolist() == [5, 5]
