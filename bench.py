@@ -106,7 +106,7 @@ def pack_buckets(seqs):
     return buckets
 
 
-def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
+def tpu_throughput(buckets, iters: int = 20, replicate: int = 16, presort_compact: bool = False):
     """Sustained device throughput of the full sweep.
 
     Method: the whole (replicated) corpus is processed by ONE jitted
@@ -164,6 +164,7 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16):
                 moltype=MOLTYPE,
                 capacity=cap,
                 use_pallas=use_pallas,
+                presort_compact=presort_compact,
             )
             dep = reduce_counts(out, dep)
         return dep

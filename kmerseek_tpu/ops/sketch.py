@@ -163,8 +163,43 @@ def sketch_batch(
     return SketchBatch(mins_hi, mins_lo, abund, counts)
 
 
+def _presort_compact_keys(key_hi, key_lo, n_kept, capacity: int):
+    """Pack each row's surviving keys into the leading ``capacity`` slots
+    before the sort — scatter-free (cumsum + binary-search gathers).
+
+    The 2-key sort is ~half the sketch stage on TPU and runs over the
+    full window width W even though only ~W/scaled keys survive the
+    scaled filter; compacting first shrinks the sort to the capacity
+    width (~scaled× fewer elements). Survivor test is ``hi != 2^32-1``,
+    exact for scaled > 1 (max_hash ≤ 2^63 keeps hi < 2^31; sentinels
+    are u64::MAX) — callers must skip this path for scaled == 1.
+    Surviving order is window order; the subsequent sort makes the
+    result identical to sorting the full width (as long as
+    n_kept ≤ capacity — beyond that both paths are an error that
+    ``finalize_sorted_np`` raises on)."""
+    B, W = key_hi.shape
+    big = jnp.uint32(0xFFFFFFFF)
+    csum = jnp.cumsum((key_hi != big).astype(jnp.int32), axis=-1)
+    targets = jnp.arange(1, capacity + 1, dtype=csum.dtype)
+    pos = jax.vmap(
+        lambda row: jnp.searchsorted(
+            row, targets, side="left", method="scan_unrolled"
+        )
+    )(csum)
+    g = jnp.minimum(pos, W - 1)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (B, capacity), 1) < jnp.minimum(
+        n_kept, capacity
+    )[:, None]
+    c_hi = jnp.where(valid, jnp.take_along_axis(key_hi, g, axis=1), big)
+    c_lo = jnp.where(valid, jnp.take_along_axis(key_lo, g, axis=1), big)
+    return c_hi, c_lo
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "scaled", "moltype", "capacity", "use_pallas")
+    jax.jit,
+    static_argnames=(
+        "k", "scaled", "moltype", "capacity", "use_pallas", "presort_compact",
+    ),
 )
 def sorted_window_hashes(
     seqs: jnp.ndarray,
@@ -175,6 +210,7 @@ def sorted_window_hashes(
     moltype: str,
     capacity: int,
     use_pallas: bool = False,
+    presort_compact: bool = False,
 ):
     """Scatter-free device sketch stage: hash → sentinel mask → 2-key sort.
 
@@ -211,6 +247,9 @@ def sorted_window_hashes(
         key_hi = jnp.where(keep, hashes.hi, big)
         key_lo = jnp.where(keep, hashes.lo, big)
         n_kept = keep.astype(jnp.int32).sum(axis=-1)
+    W = key_hi.shape[-1]
+    if presort_compact and scaled > 1 and capacity < W:
+        key_hi, key_lo = _presort_compact_keys(key_hi, key_lo, n_kept, capacity)
     s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2, dimension=-1)
     W = s_hi.shape[-1]
     if W < capacity:  # short-sequence bucket: pad out to the full slot count

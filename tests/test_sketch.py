@@ -134,3 +134,37 @@ def test_combined_minhash_counts(bcl2_first25):
                     assert len(mins) == expect, (moltype, rec.name)
         uniq, _sums = merge_sketches_np(mins_list, ab_list)
         assert len(uniq) == combined_size, moltype
+
+
+def test_presort_compact_bit_equal(bcl2_first25):
+    """presort_compact packs survivors to capacity width before the
+    sort; outputs must be bit-identical to the full-width sort for all
+    moltypes (the sorted survivor set is the same set)."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.core.alphabet import validate_resolve_batch
+    from kmerseek_tpu.core.fasta import read_fasta
+    from kmerseek_tpu.ops.sketch import sketch_capacity, sorted_window_hashes
+
+    records = read_fasta(bcl2_first25)
+    resolved = validate_resolve_batch([r.seq for r in records])
+    L = max(len(s) for s in resolved)
+    seqs = np.zeros((len(resolved), L), np.uint8)
+    lens = np.zeros(len(resolved), np.int32)
+    for i, s in enumerate(resolved):
+        seqs[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    for moltype, k, scaled in [("hp", 24, 5), ("dayhoff", 8, 100), ("protein", 10, 5)]:
+        cap = sketch_capacity(L, k, scaled)
+        assert cap < L - k + 1  # compaction actually engages
+        base = sorted_window_hashes(
+            jnp.asarray(seqs), jnp.asarray(lens),
+            k=k, scaled=scaled, moltype=moltype, capacity=cap,
+        )
+        fast = sorted_window_hashes(
+            jnp.asarray(seqs), jnp.asarray(lens),
+            k=k, scaled=scaled, moltype=moltype, capacity=cap,
+            presort_compact=True,
+        )
+        for a, b in zip(base, fast):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (moltype, k)
