@@ -167,10 +167,16 @@ def _presort_compact_keys(key_hi, key_lo, n_kept, capacity: int):
     """Pack each row's surviving keys into the leading ``capacity`` slots
     before the sort — scatter-free (cumsum + binary-search gathers).
 
-    The 2-key sort is ~half the sketch stage on TPU and runs over the
-    full window width W even though only ~W/scaled keys survive the
-    scaled filter; compacting first shrinks the sort to the capacity
-    width (~scaled× fewer elements). Survivor test is ``hi != 2^32-1``,
+    MEASURED AND REJECTED on-chip (round 2, bench_exp_compact.py): this
+    path is ~200x slower than the full-width sentinel sort (5.5M vs
+    1104M kmers/s) — the per-row vmapped ``searchsorted`` lowers to
+    serial gather chains on the VPU. Kept (bit-equal, tested) as a
+    documented negative result; callers must leave it off.
+
+    Rationale it tested: the 2-key sort is ~half the sketch stage on
+    TPU and runs over the full window width W even though only
+    ~W/scaled keys survive the scaled filter; compacting first shrinks
+    the sort to the capacity width (~scaled× fewer elements). Survivor test is ``hi != 2^32-1``,
     exact for scaled > 1 (max_hash ≤ 2^63 keeps hi < 2^31; sentinels
     are u64::MAX) — callers must skip this path for scaled == 1.
     Surviving order is window order; the subsequent sort makes the
