@@ -26,6 +26,7 @@ equal ``pairwise_stats`` bit-for-bit (tested).
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import NamedTuple
 
 import jax
@@ -95,6 +96,40 @@ class InvertedIndex(NamedTuple):
         return self._replace(
             bucket_starts=starts, max_span=max_span, bucket_shift=shift
         )
+
+
+# Device copies of an index's posting arrays, keyed by the identity of
+# its host ``g_hi`` array (each build allocates that array fresh, and
+# holding a strong reference in the entry keeps the id stable while
+# cached). Without this every search call re-uploads the postings —
+# ~0.7 GB per call at UniProt scale — although the production pattern
+# is many query batches against one loaded index (branchwater's
+# build-once revindex semantics). Two slots: a manysearch run touches
+# at most a target index and a query-side index.
+_DEVICE_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
+_DEVICE_CACHE_SLOTS = 2
+
+
+def device_postings(inv: InvertedIndex):
+    """``(g_hi, g_lo, tid, ab, bucket_starts)`` as device arrays, cached.
+
+    ``bucket_starts`` is ``None`` when the index has no bucket table."""
+    key = id(inv.g_hi)
+    ent = _DEVICE_CACHE.get(key)
+    if ent is not None and ent[0] is inv.g_hi and ent[1] is inv.bucket_starts:
+        _DEVICE_CACHE.move_to_end(key)
+        return ent[2]
+    arrs = (
+        jnp.asarray(inv.g_hi),
+        jnp.asarray(inv.g_lo),
+        jnp.asarray(inv.tid),
+        jnp.asarray(inv.ab),
+        jnp.asarray(inv.bucket_starts) if inv.bucket_starts is not None else None,
+    )
+    _DEVICE_CACHE[key] = (inv.g_hi, inv.bucket_starts, arrs)
+    while len(_DEVICE_CACHE) > _DEVICE_CACHE_SLOTS:
+        _DEVICE_CACHE.popitem(last=False)
+    return arrs
 
 
 def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndarray) -> InvertedIndex:
@@ -326,13 +361,14 @@ def inverted_search(index, q_hi, q_lo, q_valid):
         Q = np.asarray(q_hi).shape[0]
         z = np.zeros((Q, inv.n_targets), np.int32)
         return jnp.asarray(z), jnp.asarray(z)
-    if inv.bucket_starts is not None:
+    g_hi, g_lo, tid, ab, bucket_starts = device_postings(inv)
+    if bucket_starts is not None:
         return inverted_pair_stats_bucketed(
-            jnp.asarray(inv.g_hi),
-            jnp.asarray(inv.g_lo),
-            jnp.asarray(inv.tid),
-            jnp.asarray(inv.ab),
-            jnp.asarray(inv.bucket_starts),
+            g_hi,
+            g_lo,
+            tid,
+            ab,
+            bucket_starts,
             q_hi,
             q_lo,
             q_valid,
@@ -342,10 +378,10 @@ def inverted_search(index, q_hi, q_lo, q_valid):
             bucket_shift=inv.bucket_shift,
         )
     return inverted_pair_stats(
-        jnp.asarray(inv.g_hi),
-        jnp.asarray(inv.g_lo),
-        jnp.asarray(inv.tid),
-        jnp.asarray(inv.ab),
+        g_hi,
+        g_lo,
+        tid,
+        ab,
         q_hi,
         q_lo,
         q_valid,

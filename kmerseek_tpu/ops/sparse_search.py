@@ -41,6 +41,7 @@ from .inverted import (
     _bucketed_lower_bound,
     _global_lower_bound,
     build_inverted_np,
+    device_postings,
 )
 
 
@@ -167,13 +168,14 @@ def _sparse_single(
         capacity = min(Q * S * max_run, 4 * 1024 * 1024)
     capacity = max(((capacity + 127) // 128) * 128, 128)
     inv = inv.with_buckets()
+    g_hi, g_lo, tid, ab, bucket_starts = device_postings(inv)
 
     def run(cap: int):
         return inverted_sparse_hits(
-            jnp.asarray(inv.g_hi),
-            jnp.asarray(inv.g_lo),
-            jnp.asarray(inv.tid),
-            jnp.asarray(inv.ab),
+            g_hi,
+            g_lo,
+            tid,
+            ab,
             q_hi,
             q_lo,
             q_valid,
@@ -182,7 +184,7 @@ def _sparse_single(
             capacity=cap,
             span_steps=max(int(inv.max_span).bit_length(), 1),
             bucket_shift=inv.bucket_shift,
-            bucket_starts=jnp.asarray(inv.bucket_starts),
+            bucket_starts=bucket_starts,
             run_offset=run_offset,
         )
 

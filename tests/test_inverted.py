@@ -216,3 +216,30 @@ def test_packed_engine_bit_equal():
     )
     assert np.array_equal(np.asarray(n0), np.asarray(n1))
     assert np.array_equal(np.asarray(w0), np.asarray(w1))
+
+
+def test_device_postings_cache_reuses_arrays():
+    """Repeated searches against one index must not re-upload postings.
+
+    The cache is keyed on the identity of the host g_hi array (plus the
+    bucket table), so the same InvertedIndex yields the *same* device
+    arrays, a with_buckets() no-op keeps the entry, and a different
+    index gets fresh arrays."""
+    from kmerseek_tpu.ops.inverted import device_postings
+
+    rng = np.random.default_rng(3)
+    mins = np.sort(rng.integers(0, 2**62, size=40, dtype=np.uint64))
+    ab = np.ones(40, np.int64)
+    offsets = np.array([0, 20, 40], np.int64)
+    inv = build_inverted_np(mins, ab, offsets)
+
+    a = device_postings(inv)
+    b = device_postings(inv)
+    assert all(x is y for x, y in zip(a, b))
+    assert device_postings(inv.with_buckets())[0] is a[0]  # no-op replace
+
+    inv2 = build_inverted_np(mins.copy(), ab, offsets)
+    c = device_postings(inv2)
+    assert c[0] is not a[0]
+    # original entry still cached (2 slots)
+    assert device_postings(inv)[0] is a[0]
