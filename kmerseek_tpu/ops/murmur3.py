@@ -28,7 +28,7 @@ from typing import List, Sequence
 
 import jax.numpy as jnp
 
-from .u64 import U64, add64, mul64, rotl64, shr64, u64_const, xor64
+from .u64 import U64, add64, mul64, mul64x5, rotl64, shr64, u64_const, xor64
 
 _C1 = 0x87C37B91114253D5
 _C2 = 0x4CF5AD432745937F
@@ -81,7 +81,7 @@ def murmur64_windows_from_views(byte_views: List[jnp.ndarray], k: int, seed: int
         h1 = xor64(h1, k1)
         h1 = rotl64(h1, 27)
         h1 = add64(h1, h2)
-        h1 = add64(mul64(h1, u64_const(5)), u64_const(0x52DCE729))
+        h1 = add64(mul64x5(h1), u64_const(0x52DCE729))
 
         k2 = mul64(k2, c2)
         k2 = rotl64(k2, 33)
@@ -89,7 +89,7 @@ def murmur64_windows_from_views(byte_views: List[jnp.ndarray], k: int, seed: int
         h2 = xor64(h2, k2)
         h2 = rotl64(h2, 31)
         h2 = add64(h2, h1)
-        h2 = add64(mul64(h2, u64_const(5)), u64_const(0x38495AB5))
+        h2 = add64(mul64x5(h2), u64_const(0x38495AB5))
 
     tail_len = k % 16
     tail_start = nblocks * 16
@@ -160,14 +160,14 @@ def murmur64_windows_from_u32views(
         h1 = xor64(h1, k1)
         h1 = rotl64(h1, 27)
         h1 = add64(h1, h2)
-        h1 = add64(mul64(h1, u64_const(5)), u64_const(0x52DCE729))
+        h1 = add64(mul64x5(h1), u64_const(0x52DCE729))
         k2 = mul64(k2, c2)
         k2 = rotl64(k2, 33)
         k2 = mul64(k2, c1)
         h2 = xor64(h2, k2)
         h2 = rotl64(h2, 31)
         h2 = add64(h2, h1)
-        h2 = add64(mul64(h2, u64_const(5)), u64_const(0x38495AB5))
+        h2 = add64(mul64x5(h2), u64_const(0x38495AB5))
 
     tail_len = k % 16
     if tail_len > 8:

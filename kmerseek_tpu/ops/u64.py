@@ -75,6 +75,30 @@ def mul64(a: U64, b: U64) -> U64:
     return U64(hi, lo)
 
 
+def shl64(a: U64, r: int) -> U64:
+    """Logical shift left by a static amount ``0 < r < 64``."""
+    r = int(r)
+    assert 0 < r < 64
+    if r == 32:
+        return U64(a.lo, jnp.zeros_like(a.lo))
+    if r < 32:
+        hi = (a.hi << r) | (a.lo >> (32 - r))
+        return U64(hi, a.lo << r)
+    return U64(a.lo << (r - 32), jnp.zeros_like(a.lo))
+
+
+def mul64x5(a: U64) -> U64:
+    """Wrapping ``a * 5`` as ``a + (a << 2)`` — cheaper than ``mul64``.
+
+    The murmur3 x64_128 mixing step multiplies the running state by 5
+    twice per 16-byte block (``h = h*5 + const``). A generic ``mul64``
+    by the constant 5 still costs ~3 uint32 multiplies after XLA folds
+    the zero-high-word terms; shift-add needs no multiplies at all
+    (3 shifts + 1 or + one add64), which is never worse on the VPU.
+    """
+    return add64(a, shl64(a, 2))
+
+
 def add64(a: U64, b: U64) -> U64:
     """Wrapping u64 add (mod 2^64)."""
     lo = a.lo + b.lo
