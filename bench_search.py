@@ -52,7 +52,8 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
 
     from kmerseek_tpu.ops.inverted import (
         build_inverted_np,
-        inverted_pair_stats_bucketed,
+        device_postings,
+        inverted_pair_stats_packed,
     )
 
     TARGETS_, QUERIES_, SKETCH_ = targets, queries, sketch
@@ -68,21 +69,20 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     inv = build_inverted_np(mins, np.ones(len(mins), np.int64), offsets)
 
     dev = jax.device_put
-    g_hi, g_lo = dev(inv.g_hi), dev(inv.g_lo)
-    tid, ab = dev(inv.tid), dev(inv.ab)
-    starts = dev(inv.bucket_starts)
+    # production device layout: packed (N, 4) postings + bucket table
+    binv, g4, starts = device_postings(inv)
     q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
     q_valid = dev(np.arange(SKETCH_)[None, :] < q_c[:, None])
 
     red = jax.jit(lambda c, w, d: c.sum() + w.sum() + d)
 
     def step(dep):
-        c, w = inverted_pair_stats_bucketed(
-            g_hi, g_lo, tid, ab, starts, q_hi_d, q_lo_d,
+        c, w = inverted_pair_stats_packed(
+            g4, starts, q_hi_d, q_lo_d,
             q_valid & (dep >= 0),
-            n_targets=inv.n_targets, max_run=inv.max_run,
-            span_steps=max(int(inv.max_span).bit_length(), 1),
-            bucket_shift=inv.bucket_shift,
+            n_targets=binv.n_targets, max_run=binv.max_run,
+            span_steps=max(int(binv.max_span).bit_length(), 1),
+            bucket_shift=binv.bucket_shift,
         )
         return red(c, w, dep)
 
@@ -186,7 +186,7 @@ def measure_search_sparse(
     q_valid = jnp.asarray(qv)
 
     t0 = time.perf_counter()
-    device_postings(inv.with_buckets())
+    device_postings(inv)
     upload_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()

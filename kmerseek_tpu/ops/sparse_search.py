@@ -38,8 +38,7 @@ import numpy as np
 
 from .inverted import (
     InvertedIndex,
-    _bucketed_lower_bound,
-    _global_lower_bound,
+    _bucketed_lower_bound_packed,
     build_inverted_np,
     device_postings,
 )
@@ -62,10 +61,8 @@ class SparseHits(NamedTuple):
     ),
 )
 def inverted_sparse_hits(
-    g_hi,
-    g_lo,
-    tid,
-    ab,
+    g4,
+    bucket_starts,
     q_hi,
     q_lo,
     q_valid,
@@ -73,18 +70,19 @@ def inverted_sparse_hits(
     n_targets: int,
     max_run: int,
     capacity: int,
-    span_steps: int = 0,
+    span_steps: int,
     bucket_shift: int = 48,
-    bucket_starts=None,
     run_offset=0,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
+    Consumes the packed (N, 4) interleaved posting array (the
+    ``device_postings`` layout — every probe and run step is one
+    16-byte gather row) with the bucketed lower bound.
+
     Returns (q_out, t_out, count_out, weight_out, n_hits) with the
     first ``min(n_hits, capacity)`` slots populated in (q, t) ascending
-    order; slots beyond the hit count hold q = Q sentinels. With
-    ``bucket_starts`` + ``span_steps`` the probe uses the bucketed
-    lower bound (fewer HBM gather rounds).
+    order; slots beyond the hit count hold q = Q sentinels.
 
     ``run_offset`` shifts the probe window within each posting run:
     the kernel examines run elements [run_offset, run_offset+max_run).
@@ -95,25 +93,26 @@ def inverted_sparse_hits(
     numbers of targets).
     """
     Q, S = q_hi.shape
-    N = g_hi.shape[0]
-    if bucket_starts is not None:
-        pos = _bucketed_lower_bound(
-            g_hi, g_lo, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
-        )
-    else:
-        pos = _global_lower_bound(g_hi, g_lo, q_hi, q_lo)
+    N = g4.shape[0]
+    pos = _bucketed_lower_bound_packed(
+        g4, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
+    )
 
     # expand runs: (max_run, Q, S) match tuples
     r = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 0)
     p = pos[None, :, :] + jnp.int32(run_offset) + r
     idx = jnp.minimum(p, N - 1)
-    mh = jnp.take(g_hi, idx)
-    ml = jnp.take(g_lo, idx)
-    match = q_valid[None] & (mh == q_hi[None]) & (ml == q_lo[None]) & (p < N)
-    t = jnp.where(match, jnp.take(tid, idx), jnp.int32(n_targets))
+    row = jnp.take(g4, idx, axis=0)  # (max_run, Q, S, 4) — one gather
+    match = (
+        q_valid[None]
+        & (row[..., 0] == q_hi[None])
+        & (row[..., 1] == q_lo[None])
+        & (p < N)
+    )
+    t = jnp.where(match, row[..., 2].astype(jnp.int32), jnp.int32(n_targets))
     q = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 1)
     q_key = jnp.where(match, q, jnp.int32(Q))  # sentinel: sinks to end
-    w = jnp.where(match, jnp.take(ab, idx), 0)
+    w = jnp.where(match, row[..., 3].astype(jnp.int32), 0)
 
     # one lexicographic sort groups equal (q, t) pairs contiguously
     sq, st, sw = jax.lax.sort(
@@ -167,24 +166,20 @@ def _sparse_single(
         # exact-capacity retry covers the rare overflow
         capacity = min(Q * S * max_run, 4 * 1024 * 1024)
     capacity = max(((capacity + 127) // 128) * 128, 128)
-    inv = inv.with_buckets()
-    g_hi, g_lo, tid, ab, bucket_starts = device_postings(inv)
+    binv, g4, bucket_starts = device_postings(inv)
 
     def run(cap: int):
         return inverted_sparse_hits(
-            g_hi,
-            g_lo,
-            tid,
-            ab,
+            g4,
+            bucket_starts,
             q_hi,
             q_lo,
             q_valid,
-            n_targets=inv.n_targets,
+            n_targets=binv.n_targets,
             max_run=max_run,
             capacity=cap,
-            span_steps=max(int(inv.max_span).bit_length(), 1),
-            bucket_shift=inv.bucket_shift,
-            bucket_starts=bucket_starts,
+            span_steps=max(int(binv.max_span).bit_length(), 1),
+            bucket_shift=binv.bucket_shift,
             run_offset=run_offset,
         )
 

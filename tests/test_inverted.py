@@ -221,11 +221,11 @@ def test_packed_engine_bit_equal():
 def test_device_postings_cache_reuses_arrays():
     """Repeated searches against one index must not re-upload postings.
 
-    The cache is keyed on the identity of the host g_hi array (plus the
-    bucket table), so the same InvertedIndex yields the *same* device
-    arrays, a with_buckets() no-op keeps the entry, and a different
+    The cache is keyed on the identity of the host g_hi array, so the
+    same InvertedIndex yields the *same* device (g4, bucket) arrays, a
+    bucketless view over the same postings still hits, and a different
     index gets fresh arrays."""
-    from kmerseek_tpu.ops.inverted import device_postings
+    from kmerseek_tpu.ops.inverted import InvertedIndex, device_postings
 
     rng = np.random.default_rng(3)
     mins = np.sort(rng.integers(0, 2**62, size=40, dtype=np.uint64))
@@ -236,10 +236,15 @@ def test_device_postings_cache_reuses_arrays():
     a = device_postings(inv)
     b = device_postings(inv)
     assert all(x is y for x, y in zip(a, b))
-    assert device_postings(inv.with_buckets())[0] is a[0]  # no-op replace
+    # a bucketless NamedTuple over the SAME posting arrays must not
+    # re-upload (device_postings attaches the table itself)
+    bare = InvertedIndex(
+        inv.g_hi, inv.g_lo, inv.tid, inv.ab, inv.n_targets, inv.max_run
+    )
+    assert device_postings(bare)[1] is a[1]
 
     inv2 = build_inverted_np(mins.copy(), ab, offsets)
     c = device_postings(inv2)
-    assert c[0] is not a[0]
+    assert c[1] is not a[1]
     # original entry still cached (2 slots)
-    assert device_postings(inv)[0] is a[0]
+    assert device_postings(inv)[1] is a[1]
