@@ -245,11 +245,21 @@ def inverted_pair_stats_packed(
 ):
     """Dense stats over the interleaved (N, 4) posting array with the
     bucketed lower bound — bit-equal to ``inverted_pair_stats``; every
-    probe and run step is a single 16-byte gather row."""
+    probe and run step is a single 16-byte gather row.
+
+    ``bucket_starts=None`` falls back to the full binary search over
+    the array (``span_steps`` must then cover log2(N)) — the mode used
+    per shard by the hash-range-sharded engine, whose local slices have
+    no bucket table."""
     N = g4.shape[0]
-    pos = _bucketed_lower_bound_packed(
-        g4, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
-    )
+    if bucket_starts is None:
+        lo = jnp.zeros(q_hi.shape, jnp.int32)
+        hi = jnp.full(q_hi.shape, N, jnp.int32)
+        pos = _bisect_rounds_packed(g4, q_hi, q_lo, lo, hi, span_steps)
+    else:
+        pos = _bucketed_lower_bound_packed(
+            g4, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
+        )
 
     Q, S = q_hi.shape
     qi = jax.lax.broadcasted_iota(jnp.int32, (Q, S), 0)

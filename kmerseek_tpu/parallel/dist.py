@@ -168,35 +168,42 @@ def sharded_inverted_search(mesh: Mesh, inv, q_hi, q_lo, q_valid):
     the sum is exact (runs straddling a shard boundary are found by
     both shards' local lower bounds).
     """
-    from ..ops.inverted import inverted_pair_stats
+    from ..ops.inverted import inverted_pair_stats_packed
 
     n = mesh.devices.size
     pad = (-len(inv.g_hi)) % n
-    g_hi = np.pad(inv.g_hi, (0, pad), constant_values=0xFFFFFFFF)
-    g_lo = np.pad(inv.g_lo, (0, pad), constant_values=0xFFFFFFFF)
-    tid = np.pad(inv.tid, (0, pad), constant_values=inv.n_targets)
-    ab = np.pad(inv.ab, (0, pad))
-    sh = NamedSharding(mesh, P(AXIS))
+    # packed (N, 4) production layout, position-sharded along the
+    # posting axis; sentinel pad rows carry an out-of-range target id
+    # so the scatter's mode="drop" discards them
+    g4 = np.stack(
+        [
+            np.pad(inv.g_hi, (0, pad), constant_values=0xFFFFFFFF),
+            np.pad(inv.g_lo, (0, pad), constant_values=0xFFFFFFFF),
+            np.pad(inv.tid, (0, pad), constant_values=inv.n_targets).astype(
+                np.uint32
+            ),
+            np.pad(inv.ab, (0, pad)).astype(np.uint32),
+        ],
+        axis=1,
+    )
+    sh = NamedSharding(mesh, P(AXIS, None))
     rep = NamedSharding(mesh, P(None, None))
-    g_hi = jax.device_put(g_hi, sh)
-    g_lo = jax.device_put(g_lo, sh)
-    tid = jax.device_put(tid, sh)
-    ab = jax.device_put(ab, sh)
+    g4 = jax.device_put(g4, sh)
     q_hi = jax.device_put(np.asarray(q_hi), rep)
     q_lo = jax.device_put(np.asarray(q_lo), rep)
     q_valid = jax.device_put(np.asarray(q_valid), rep)
+    local_n = g4.shape[0] // n
 
-    def local(g_hi, g_lo, tid, ab, q_hi, q_lo, q_valid):
-        counts, weights = inverted_pair_stats(
-            g_hi,
-            g_lo,
-            tid,
-            ab,
+    def local(g4, q_hi, q_lo, q_valid):
+        counts, weights = inverted_pair_stats_packed(
+            g4,
+            None,
             q_hi,
             q_lo,
             q_valid,
             n_targets=inv.n_targets,
             max_run=inv.max_run,
+            span_steps=max(int(local_n).bit_length(), 1),
         )
         return (
             jax.lax.psum(counts, AXIS),
@@ -207,11 +214,11 @@ def sharded_inverted_search(mesh: Mesh, inv, q_hi, q_lo, q_valid):
         shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(None, None), P(None, None), P(None, None)),
+            in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None, None)),
             out_specs=(P(None, None), P(None, None)),
         )
     )
-    return fn(g_hi, g_lo, tid, ab, q_hi, q_lo, q_valid)
+    return fn(g4, q_hi, q_lo, q_valid)
 
 
 def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = None):
