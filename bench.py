@@ -250,7 +250,7 @@ def _child_main():
     from kmerseek_tpu.utils.device import enable_compilation_cache
 
     enable_compilation_cache()
-    _run_and_print("accelerator", search_deadline=deadline)
+    _run_and_print_progressive("accelerator", search_deadline=deadline)
 
 
 def main():
@@ -330,7 +330,32 @@ def _run_and_print(backend: str, search_deadline: float | None = None):
     print(json.dumps(_measure(backend, search_deadline)), flush=True)
 
 
-def _measure(backend: str, search_deadline: float | None = None) -> dict:
+def _run_and_print_progressive(backend: str, search_deadline: float | None = None):
+    """Sketch-only JSON first, then the line upgraded with search detail.
+
+    The parent (and the driver) take the LAST JSON line, so if the
+    search measurement's remote compile outlives the child budget and
+    the child is hard-killed, the sketch record still stands instead of
+    the whole attempt being lost."""
+    result = _measure(backend, search_deadline, with_search=False)
+    print(json.dumps(result), flush=True)
+    if search_deadline is None or time.monotonic() + 120 < search_deadline:
+        try:
+            from bench_search import measure_search
+
+            s = measure_search(backend)
+            result["detail"]["search_queries_per_second"] = s["value"]
+            result["detail"]["search"] = s["detail"]
+            print(json.dumps(result), flush=True)
+        except Exception as e:
+            print(f"search measurement failed: {e!r}", file=sys.stderr)
+
+
+def _measure(
+    backend: str,
+    search_deadline: float | None = None,
+    with_search: bool = True,
+) -> dict:
     # the axon sitecustomize force-sets jax_platforms='axon,cpu' at
     # interpreter start regardless of the env var, so a CPU intent must
     # be enforced through jax.config explicitly
@@ -366,7 +391,9 @@ def _measure(backend: str, search_deadline: float | None = None) -> dict:
     # second headline metric (BASELINE.json): queries/s on a
     # UniProt-scale index — measured in the same process/backend when
     # time allows
-    if search_deadline is None or time.monotonic() + 120 < search_deadline:
+    if with_search and (
+        search_deadline is None or time.monotonic() + 120 < search_deadline
+    ):
         try:
             from bench_search import measure_search
 
