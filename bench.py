@@ -349,6 +349,20 @@ def _run_and_print_progressive(backend: str, search_deadline: float | None = Non
             print(json.dumps(result), flush=True)
         except Exception as e:
             print(f"search measurement failed: {e!r}", file=sys.stderr)
+    # BASELINE.json names "queries/s on UniProt-scale index": the sparse
+    # hit-list engine vs a 524k-target / ~50M-posting synthetic corpus.
+    # Heaviest step (host build ~40 s + compile), so it runs last and
+    # only with generous headroom — every earlier record is already out.
+    if search_deadline is None or time.monotonic() + 300 < search_deadline:
+        try:
+            from bench_search import measure_search_sparse
+
+            s = measure_search_sparse(backend)
+            result["detail"]["uniprot_scale_sparse_queries_per_second"] = s["value"]
+            result["detail"]["uniprot_scale_sparse"] = s["detail"]
+            print(json.dumps(result), flush=True)
+        except Exception as e:
+            print(f"sparse search measurement failed: {e!r}", file=sys.stderr)
 
 
 def _measure(
