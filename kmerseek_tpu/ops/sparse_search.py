@@ -190,11 +190,14 @@ def _sparse_single(
         q_out, t_out, counts, weights, n_hits = run(int(capacity))
         n = int(n_hits)
     h = min(n, int(capacity))
+    # slice on DEVICE before fetching: the buffers are capacity-sized
+    # but only the first h slots carry hits — at UniProt scale fetching
+    # the full buffers over the tunnel is ~6x more traffic than needed
     return SparseHits(
-        np.asarray(q_out)[:h],
-        np.asarray(t_out)[:h],
-        np.asarray(counts)[:h],
-        np.asarray(weights)[:h].astype(np.int64),
+        np.asarray(q_out[:h]),
+        np.asarray(t_out[:h]),
+        np.asarray(counts[:h]),
+        np.asarray(weights[:h]).astype(np.int64),
         n,
     )
 
