@@ -192,12 +192,16 @@ def _sparse_single(
     h = min(n, int(capacity))
     # slice on DEVICE before fetching: the buffers are capacity-sized
     # but only the first h slots carry hits — at UniProt scale fetching
-    # the full buffers over the tunnel is ~6x more traffic than needed
+    # the full buffers over the tunnel is ~6x more traffic than needed.
+    # The slice length quantizes to a power of two so only O(log
+    # capacity) distinct slice programs ever compile (each distinct
+    # static length is its own XLA program — costly over the tunnel).
+    hp = min(int(capacity), max(128, 1 << (max(h - 1, 1)).bit_length()))
     return SparseHits(
-        np.asarray(q_out[:h]),
-        np.asarray(t_out[:h]),
-        np.asarray(counts[:h]),
-        np.asarray(weights[:h]).astype(np.int64),
+        np.asarray(q_out[:hp])[:h],
+        np.asarray(t_out[:hp])[:h],
+        np.asarray(counts[:hp])[:h],
+        np.asarray(weights[:hp])[:h].astype(np.int64),
         n,
     )
 
