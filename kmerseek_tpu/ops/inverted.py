@@ -305,6 +305,9 @@ def inverted_pair_stats(
 ):
     """(Q, T) intersect counts + weighted sums via the inverted index.
 
+    Split-array reference implementation (kept for bit-equality tests);
+    production uses ``inverted_pair_stats_packed``.
+
     ``q_valid`` masks real, distinct query slots (duplicates and padding
     off — see ``ops.sketch.sorted_window_hashes``'s ``first`` mask).
     """
@@ -364,8 +367,10 @@ def inverted_pair_stats_bucketed(
     span_steps: int,
     bucket_shift: int = 48,
 ):
-    """Dense stats with the bucketed lower bound (single-chip fast path;
-    bit-equal to ``inverted_pair_stats``)."""
+    """Dense stats with the bucketed lower bound over split posting
+    arrays — reference implementation kept for bit-equality tests; the
+    production path is ``inverted_pair_stats_packed`` (one interleaved
+    gather row per probe step, measured +52% on-chip)."""
     pos = _bucketed_lower_bound(
         g_hi, g_lo, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
     )
