@@ -22,7 +22,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TARGETS = 20000  # ~human proteome scale
-QUERIES = 256
+# 1024-query blocks: on-chip A/B measured 80.6k q/s at Q=1024 vs 39k at
+# Q=256 (same engine/window) — bigger blocks amortize dispatch overhead
+# and feed the probe more independent gather lanes; (Q, T) stays 160 MB
+QUERIES = 1024
 SKETCH = 128  # padded sketch slots (~640 aa / scaled 5)
 
 
