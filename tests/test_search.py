@@ -212,6 +212,40 @@ def test_loaded_index_reuses_persisted_inverted(ced9_vs_bcl2, tmp_path, monkeypa
     assert rows == fresh_rows
 
 
+def test_loaded_legacy_bucket_table_searches_identically(
+    ced9_vs_bcl2, tmp_path, monkeypatch
+):
+    """A .ksx persisted with the older 2^16 bucket table must search
+    bit-identically after the table default grew to 2^20 — the probe
+    kernels read the table size from the array shape, not the module
+    constant."""
+    import kmerseek_tpu.ops.inverted as invmod
+
+    query, target = ced9_vs_bcl2
+    fresh_rows = manysearch(query, target)
+
+    # rebuild the index's inverted postings under the legacy constant
+    # and persist them
+    monkeypatch.setattr(invmod, "BUCKET_BITS", 16)
+    rebuilt = invmod.build_inverted_np(
+        target.mins, target.abundances, target.offsets
+    )
+    assert len(rebuilt.bucket_starts) == (1 << 16) + 1
+    original_inverted = target._inverted
+    target._inverted = rebuilt
+    try:
+        path = str(tmp_path / "legacy.ksx")
+        target.save(path)
+    finally:
+        target._inverted = original_inverted  # module-scoped fixture
+    monkeypatch.undo()  # restore BUCKET_BITS = 20 for the load + search
+
+    loaded = ProteomeIndex.load(path)
+    assert len(loaded._inverted.bucket_starts) == (1 << 16) + 1
+    rows = manysearch(query, loaded)
+    assert rows == fresh_rows
+
+
 def test_manysearch_scale_synthetic():
     """20k targets x 1k queries at threshold 0 completes in <10 s host
     time (the vectorized-join scale criterion): per-hit-row Python work
