@@ -248,3 +248,75 @@ def test_device_postings_cache_reuses_arrays():
     assert c[1] is not a[1]
     # original entry still cached (2 slots)
     assert device_postings(inv)[1] is a[1]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_engines_match_host_oracle(seed):
+    """Production engines vs a direct host oracle on randomized corpora.
+
+    Each seed draws a different corpus shape: universe size (dup-heavy
+    through sparse), random abundances 1..5, and a fraction of empty
+    target/query sketches. The packed dense engine (the production
+    ``inverted_search`` path) and the sparse hit-list engine must both
+    reproduce per-pair ``np.intersect1d`` counts and target-abundance
+    weighted sums exactly."""
+    from kmerseek_tpu.ops.inverted import device_postings, inverted_pair_stats_packed
+    from kmerseek_tpu.ops.sparse_search import sparse_search
+
+    rng = np.random.default_rng(100 + seed)
+    universe = int(rng.choice([30, 200, 5_000]))
+    T, Q = int(rng.integers(5, 30)), int(rng.integers(2, 8))
+
+    def draw(n):
+        out = []
+        for _ in range(n):
+            k = int(rng.integers(0, 20))
+            if rng.random() < 0.15:
+                k = 0  # empty sketch
+            vals = np.unique(
+                rng.integers(0, universe, k).astype(np.uint64) * np.uint64(2**33 + 7)
+            )
+            out.append(vals)
+        return out
+
+    targets, queries = draw(T), draw(Q)
+    t_ab = [rng.integers(1, 6, size=len(t)).astype(np.int64) for t in targets]
+
+    mins, _, offsets = _csr(targets)
+    ab = np.concatenate(t_ab) if len(mins) else np.zeros(0, np.int64)
+    inv = build_inverted_np(mins, ab, offsets)
+    S = max(max((len(q) for q in queries), default=1), 1)
+    S = ((S + 7) // 8) * 8
+    q_hi, q_lo, q_valid = _dense_q(queries, S)
+
+    # host oracle
+    want_n = np.zeros((Q, T), np.int64)
+    want_w = np.zeros((Q, T), np.int64)
+    for i, q in enumerate(queries):
+        for j, t in enumerate(targets):
+            inter = np.intersect1d(q, t)
+            want_n[i, j] = len(inter)
+            want_w[i, j] = t_ab[j][np.isin(t, inter)].sum()
+
+    if len(mins):
+        binv, g4, starts = device_postings(inv)
+        n, w = inverted_pair_stats_packed(
+            g4, starts, q_hi, q_lo, q_valid,
+            n_targets=binv.n_targets, max_run=binv.max_run,
+            span_steps=max(int(binv.max_span).bit_length(), 1),
+            bucket_shift=binv.bucket_shift,
+        )
+        assert np.array_equal(np.asarray(n), want_n)
+        assert np.array_equal(np.asarray(w), want_w)
+
+    class _Idx:
+        inverted = inv
+
+    hits = sparse_search(_Idx(), q_hi, q_lo, q_valid)
+    got_n = np.zeros((Q, T), np.int64)
+    got_w = np.zeros((Q, T), np.int64)
+    got_n[hits.q, hits.t] = hits.count
+    got_w[hits.q, hits.t] = hits.weight
+    assert hits.n_hits == int((want_n > 0).sum())
+    assert np.array_equal(got_n, want_n)
+    assert np.array_equal(got_w, want_w)
