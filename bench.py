@@ -277,7 +277,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        preliminary = _measure("cpu-preliminary (accelerator attempts pending)")
+        # sketch-only: the CPU search measurement (1024x20k pair stats,
+        # warmup + iters) can eat minutes of the fixed accelerator
+        # budget on a slow host; the fallback path below adds it only
+        # if the accelerator attempts fail with budget to spare
+        preliminary = _measure(
+            "cpu-preliminary (accelerator attempts pending)", with_search=False
+        )
         print(json.dumps(preliminary), flush=True)
     except Exception as e:
         print(f"preliminary CPU measurement failed: {e}", file=sys.stderr)
@@ -310,6 +316,15 @@ def main():
             print(f"bench child attempt {attempt} failed: {e}", file=sys.stderr)
     # both child attempts failed or hung: report the CPU numbers
     if preliminary is not None:
+        if time.monotonic() + 120 < deadline:
+            try:
+                from bench_search import measure_search
+
+                s = measure_search("cpu-fallback", iters=2)
+                preliminary["detail"]["search_queries_per_second"] = s["value"]
+                preliminary["detail"]["search"] = s["detail"]
+            except Exception as e:
+                print(f"fallback search measurement failed: {e}", file=sys.stderr)
         blob = json.dumps(preliminary).replace(
             "cpu-preliminary (accelerator attempts pending)",
             "cpu-fallback (accelerator run failed)",

@@ -34,12 +34,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# top hash bits used for the device-side bucket table: 2^16 buckets keep
-# the start table stays small (4 MiB) while murmur uniformity makes
-# each bucket span ~N/2^20 postings — the binary search shrinks from
-# log2(N) HBM gather rounds to 1 + log2(span). The probe kernels read
-# the table size from the array shape, so indexes persisted with an
-# older/smaller table keep working.
+# top hash bits used for the device-side bucket table: 2^20 buckets
+# keep the start table small (4 MiB) while murmur uniformity makes each
+# bucket span ~N/2^20 postings — the binary search shrinks from log2(N)
+# HBM gather rounds to 1 + log2(span). (A 2^22 table measured only +3%
+# on-chip and was rejected.) The probe kernels read the table size from
+# the array shape, so indexes persisted with an older/smaller table
+# keep working.
 BUCKET_BITS = 20
 
 
@@ -138,6 +139,20 @@ def device_postings(inv: InvertedIndex):
     while len(_DEVICE_CACHE) > _DEVICE_CACHE_SLOTS:
         _DEVICE_CACHE.popitem(last=False)
     return entry
+
+
+def clear_device_postings(inv: InvertedIndex | None = None) -> None:
+    """Release cached device posting uploads (HBM + host references).
+
+    The cache holds strong references to up to two indexes' host arrays
+    plus their device copies (~0.8 GB HBM each at UniProt scale) for
+    the process lifetime; long-lived services that retire an index
+    should call this to free the memory. With ``inv`` given only that
+    index's entry is dropped; with no argument the whole cache clears."""
+    if inv is None:
+        _DEVICE_CACHE.clear()
+    else:
+        _DEVICE_CACHE.pop(id(inv.g_hi), None)
 
 
 def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndarray) -> InvertedIndex:

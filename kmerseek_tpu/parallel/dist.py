@@ -172,20 +172,16 @@ def sharded_inverted_search(mesh: Mesh, inv, q_hi, q_lo, q_valid):
 
     n = mesh.devices.size
     pad = (-len(inv.g_hi)) % n
-    # packed (N, 4) production layout, position-sharded along the
-    # posting axis; sentinel pad rows carry an out-of-range target id
-    # so the scatter's mode="drop" discards them
-    g4 = np.stack(
-        [
-            np.pad(inv.g_hi, (0, pad), constant_values=0xFFFFFFFF),
-            np.pad(inv.g_lo, (0, pad), constant_values=0xFFFFFFFF),
-            np.pad(inv.tid, (0, pad), constant_values=inv.n_targets).astype(
-                np.uint32
-            ),
-            np.pad(inv.ab, (0, pad)).astype(np.uint32),
-        ],
-        axis=1,
-    )
+    # packed (N, 4) production layout (single source of truth:
+    # InvertedIndex.packed), position-sharded along the posting axis;
+    # sentinel pad rows carry an out-of-range target id so the
+    # scatter's mode="drop" discards them
+    g4 = inv.packed()
+    if pad:
+        pad_row = np.array(
+            [[0xFFFFFFFF, 0xFFFFFFFF, inv.n_targets, 0]], np.uint32
+        )
+        g4 = np.vstack([g4, np.repeat(pad_row, pad, axis=0)])
     sh = NamedSharding(mesh, P(AXIS, None))
     rep = NamedSharding(mesh, P(None, None))
     g4 = jax.device_put(g4, sh)

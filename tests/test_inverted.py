@@ -320,3 +320,21 @@ def test_randomized_engines_match_host_oracle(seed):
     assert hits.n_hits == int((want_n > 0).sum())
     assert np.array_equal(got_n, want_n)
     assert np.array_equal(got_w, want_w)
+
+
+def test_clear_device_postings_evicts():
+    from kmerseek_tpu.ops.inverted import (
+        _DEVICE_CACHE, clear_device_postings, device_postings,
+    )
+
+    rng = np.random.default_rng(9)
+    mins = np.sort(rng.integers(0, 2**62, size=16, dtype=np.uint64))
+    inv = build_inverted_np(mins, np.ones(16, np.int64), np.array([0, 16], np.int64))
+    a = device_postings(inv)
+    assert id(inv.g_hi) in _DEVICE_CACHE
+    clear_device_postings(inv)
+    assert id(inv.g_hi) not in _DEVICE_CACHE
+    b = device_postings(inv)  # re-uploads cleanly
+    assert b[1] is not a[1]
+    clear_device_postings()
+    assert not _DEVICE_CACHE
