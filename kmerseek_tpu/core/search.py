@@ -33,6 +33,7 @@ minhash_ksize = 3·protein_k (golden: (2/49)^(1/48) = 0.9355328459682174).
 from __future__ import annotations
 
 import csv
+import gc
 import io
 import math
 import sys
@@ -587,9 +588,20 @@ def _check_requested_params(index: ProteomeIndex, ksize, scaled, moltype):
 
 
 def _rows_from_columns(cols: Dict[str, list]) -> List[Dict]:
-    """{column: list} → list of per-row dicts (same key order)."""
+    """{column: list} → list of per-row dicts (same key order).
+
+    GC is paused for the bulk build: creating ~rows×cols container
+    objects in one burst otherwise triggers repeated full generational
+    collections that each rescan the growing heap (measured 70 s → 21 s
+    cold at 494k×22 on a 4-core host; no change to steady state)."""
     keys = list(cols.keys())
-    return [dict(zip(keys, vals)) for vals in zip(*cols.values())]
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return [dict(zip(keys, vals)) for vals in zip(*cols.values())]
+    finally:
+        if gc_was_enabled:
+            gc.enable()
 
 
 def _format_value(v) -> str:
