@@ -54,13 +54,7 @@ class SparseHits(NamedTuple):
     n_hits: int  # true number of hit pairs (may exceed H on overflow)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-    ),
-)
-def inverted_sparse_hits(
+def _sparse_hits_core(
     g4,
     bucket_starts,
     q_hi,
@@ -71,27 +65,10 @@ def inverted_sparse_hits(
     max_run: int,
     capacity: int,
     span_steps: int,
-    bucket_shift: int = 48,
-    run_offset=0,
+    bucket_shift: int,
+    run_offset,
 ):
-    """Device kernel: bounded sparse (q, t, count, weight) hit list.
-
-    Consumes the packed (N, 4) interleaved posting array (the
-    ``device_postings`` layout — every probe and run step is one
-    16-byte gather row) with the bucketed lower bound.
-
-    Returns (q_out, t_out, count_out, weight_out, n_hits) with the
-    first ``min(n_hits, capacity)`` slots populated in (q, t) ascending
-    order; slots beyond the hit count hold q = Q sentinels.
-
-    ``run_offset`` shifts the probe window within each posting run:
-    the kernel examines run elements [run_offset, run_offset+max_run).
-    Elements past a run's true end stop matching on the hash compare,
-    so a caller can tile arbitrarily long runs with several calls and
-    merge the partial hit lists (``sparse_search`` does; that bounds
-    the tuple expansion for corpora whose worst hash occurs in huge
-    numbers of targets).
-    """
+    """Traced body shared by the single-block and scan-chunked kernels."""
     Q, S = q_hi.shape
     N = g4.shape[0]
     pos = _bucketed_lower_bound_packed(
@@ -138,6 +115,111 @@ def inverted_sparse_hits(
         st, mode="drop"
     )
     return q_out, t_out, counts, weights, n_hits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
+    ),
+)
+def inverted_sparse_hits(
+    g4,
+    bucket_starts,
+    q_hi,
+    q_lo,
+    q_valid,
+    *,
+    n_targets: int,
+    max_run: int,
+    capacity: int,
+    span_steps: int,
+    bucket_shift: int = 48,
+    run_offset=0,
+):
+    """Device kernel: bounded sparse (q, t, count, weight) hit list.
+
+    Consumes the packed (N, 4) interleaved posting array (the
+    ``device_postings`` layout — every probe and run step is one
+    16-byte gather row) with the bucketed lower bound.
+
+    Returns (q_out, t_out, count_out, weight_out, n_hits) with the
+    first ``min(n_hits, capacity)`` slots populated in (q, t) ascending
+    order; slots beyond the hit count hold q = Q sentinels.
+
+    ``run_offset`` shifts the probe window within each posting run:
+    the kernel examines run elements [run_offset, run_offset+max_run).
+    Elements past a run's true end stop matching on the hash compare,
+    so a caller can tile arbitrarily long runs with several calls and
+    merge the partial hit lists (``sparse_search`` does; that bounds
+    the tuple expansion for corpora whose worst hash occurs in huge
+    numbers of targets).
+    """
+    return _sparse_hits_core(
+        g4,
+        bucket_starts,
+        q_hi,
+        q_lo,
+        q_valid,
+        n_targets=n_targets,
+        max_run=max_run,
+        capacity=capacity,
+        span_steps=span_steps,
+        bucket_shift=bucket_shift,
+        run_offset=run_offset,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
+    ),
+)
+def inverted_sparse_hits_chunks(
+    g4,
+    bucket_starts,
+    q_hi3,
+    q_lo3,
+    q_valid3,
+    *,
+    n_targets: int,
+    max_run: int,
+    capacity: int,
+    span_steps: int,
+    bucket_shift: int = 48,
+    run_offset=0,
+):
+    """All query chunks in ONE compiled program via ``lax.scan``.
+
+    Inputs are (C, Qc, S) chunk stacks; outputs are (C, capacity) hit
+    buffers + a (C,) true-hit-count vector. One kernel launch and one
+    small host fetch replace C launches each followed by a synchronous
+    ``n_hits`` round-trip — over the tunneled TPU those per-chunk
+    round-trips dominated wall time (the device compute per chunk is
+    single-digit ms; an RTT is tens of ms). Memory stays bounded: the
+    scan body holds one chunk's (max_run, Qc, S) expansion at a time.
+    """
+
+    def step(carry, qs):
+        qh, ql, qv = qs
+        out = _sparse_hits_core(
+            g4,
+            bucket_starts,
+            qh,
+            ql,
+            qv,
+            n_targets=n_targets,
+            max_run=max_run,
+            capacity=capacity,
+            span_steps=span_steps,
+            bucket_shift=bucket_shift,
+            run_offset=run_offset,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(step, 0, (q_hi3, q_lo3, q_valid3))
+    return outs
 
 
 # per-kernel-call cap on the run expansion's leading dimension: corpora
@@ -204,6 +286,89 @@ def _sparse_single(
         np.asarray(weights[:hp])[:h].astype(np.int64),
         n,
     )
+
+
+# total output-slot budget for one scan launch (C · capacity): bounds
+# the stacked (C, capacity) hit buffers to ~128 MB across the 4 arrays
+_SCAN_SLOT_BUDGET = 8 * 1024 * 1024
+# per-chunk auto-capacity floor (overridable in tests to exercise the
+# exact-count overflow retry)
+_CHUNK_CAP_FLOOR = 256 * 1024
+
+
+def _sparse_chunks(
+    inv: InvertedIndex,
+    q_hi3: np.ndarray,
+    q_lo3: np.ndarray,
+    q_valid3: np.ndarray,
+    capacity: int | None,
+    max_run: int,
+    run_offset: int = 0,
+) -> list:
+    """One scan launch over (C, Qc, S) query chunks → per-chunk hits.
+
+    The whole chunk stack runs as a single compiled program
+    (``inverted_sparse_hits_chunks``); the host then syncs ONCE on the
+    (C,) hit-count vector and fetches all four hit buffers with
+    overlapping async copies. Chunks whose auto-sized capacity
+    overflowed are re-run individually at their now-known exact count.
+    """
+    import jax.numpy as jnp
+
+    C, Qc, S = q_hi3.shape
+    retry_on_overflow = capacity is None
+    cap = capacity
+    if cap is None:
+        cap = min(Qc * S * max_run, max(_CHUNK_CAP_FLOOR, _SCAN_SLOT_BUDGET // C))
+    cap = max(((cap + 127) // 128) * 128, 128)
+    binv, g4, bucket_starts = device_postings(inv)
+    q_out, t_out, counts, weights, n_hits = inverted_sparse_hits_chunks(
+        g4,
+        bucket_starts,
+        jnp.asarray(q_hi3),
+        jnp.asarray(q_lo3),
+        jnp.asarray(q_valid3),
+        n_targets=binv.n_targets,
+        max_run=max_run,
+        capacity=int(cap),
+        span_steps=max(int(binv.max_span).bit_length(), 1),
+        bucket_shift=binv.bucket_shift,
+        run_offset=run_offset,
+    )
+    n = np.asarray(n_hits)  # the single host sync for every chunk
+    hs = np.minimum(n, int(cap))
+    # shared power-of-two trim across chunks: one slice program per hp
+    hp = min(int(cap), max(128, 1 << (int(max(hs.max(), 1)) - 1).bit_length()))
+    views = (q_out[:, :hp], t_out[:, :hp], counts[:, :hp], weights[:, :hp])
+    for v in views:
+        try:
+            v.copy_to_host_async()  # overlap the four transfers
+        except AttributeError:
+            pass
+    qa, ta, ca, wa = (np.asarray(v) for v in views)
+    parts = []
+    for c in range(C):
+        nc, h = int(n[c]), int(hs[c])
+        if retry_on_overflow and nc > int(cap):
+            # exact-capacity retry for the rare overflowing chunk
+            parts.append(
+                _sparse_single(
+                    inv,
+                    jnp.asarray(q_hi3[c]),
+                    jnp.asarray(q_lo3[c]),
+                    jnp.asarray(q_valid3[c]),
+                    capacity=nc,
+                    max_run=max_run,
+                    run_offset=run_offset,
+                )
+            )
+            continue
+        parts.append(
+            SparseHits(
+                qa[c, :h], ta[c, :h], ca[c, :h], wa[c, :h].astype(np.int64), nc
+            )
+        )
+    return parts
 
 
 def _merge_partial_hits(parts: list, capacity: int | None) -> SparseHits:
@@ -279,31 +444,51 @@ def sparse_search(
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
     if q_chunk is not None and Q > q_chunk:
-        import jax.numpy as _jnp
-
         q_hi_np = np.asarray(q_hi)
         q_lo_np = np.asarray(q_lo)
         q_valid_np = np.asarray(q_valid)
-        parts = []
-        n_total = 0
-        for lo in range(0, Q, q_chunk):
-            hi = min(lo + q_chunk, Q)
-            pad = q_chunk - (hi - lo)
-            ch = np.pad(q_hi_np[lo:hi], ((0, pad), (0, 0)), constant_values=0xFFFFFFFF)
-            cl = np.pad(q_lo_np[lo:hi], ((0, pad), (0, 0)), constant_values=0xFFFFFFFF)
-            cv = np.pad(q_valid_np[lo:hi], ((0, pad), (0, 0)), constant_values=False)
-            h = sparse_search(
-                index, _jnp.asarray(ch), _jnp.asarray(cl), _jnp.asarray(cv),
-                capacity=capacity, run_chunk=run_chunk,
-            )
-            parts.append(h._replace(q=h.q + np.int32(lo)))
-            n_total += h.n_hits
+        C = (Q + q_chunk - 1) // q_chunk
+        # pow2-quantize the chunk count: one compiled scan program per
+        # (C_pow2, Qc, S, capacity, max_run), not one per distinct C.
+        # Padded chunks carry all-invalid queries → zero hits.
+        C_pad = 1 << (C - 1).bit_length() if C > 1 else 1
+        pad_rows = C_pad * q_chunk - Q
+        ph = np.pad(
+            q_hi_np, ((0, pad_rows), (0, 0)), constant_values=0xFFFFFFFF
+        ).reshape(C_pad, q_chunk, -1)
+        pl = np.pad(
+            q_lo_np, ((0, pad_rows), (0, 0)), constant_values=0xFFFFFFFF
+        ).reshape(C_pad, q_chunk, -1)
+        pv = np.pad(
+            q_valid_np, ((0, pad_rows), (0, 0)), constant_values=False
+        ).reshape(C_pad, q_chunk, -1)
+        tile = run_chunk if run_chunk is not None else _RUN_TILE
+        if inv.max_run > tile:
+            # one scan launch per run-offset tile (each covers every
+            # chunk), then per-chunk additive merge + capacity trim —
+            # identical semantics to tiling within each chunk
+            tiles = [
+                _sparse_chunks(
+                    inv, ph, pl, pv, capacity=None, max_run=tile, run_offset=off
+                )
+                for off in range(0, inv.max_run, tile)
+            ]
+            parts = [
+                _merge_partial_hits([t[c] for t in tiles], capacity)
+                for c in range(C)
+            ]
+        else:
+            parts = _sparse_chunks(
+                inv, ph, pl, pv, capacity=capacity, max_run=inv.max_run
+            )[:C]
         return SparseHits(
-            np.concatenate([p.q for p in parts]),
+            np.concatenate(
+                [p.q + np.int32(c * q_chunk) for c, p in enumerate(parts)]
+            ),
             np.concatenate([p.t for p in parts]),
             np.concatenate([p.count for p in parts]),
             np.concatenate([p.weight for p in parts]),
-            n_total,
+            sum(p.n_hits for p in parts),
         )
     tile = run_chunk if run_chunk is not None else _RUN_TILE
     if inv.max_run > tile:

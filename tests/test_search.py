@@ -284,9 +284,11 @@ def test_manysearch_scale_synthetic(monkeypatch):
     target = make(20_000, 50, 1)
     query = make(1_000, 50, 2)
     manysearch(query, target, threshold=0.0)  # untimed warmup (see above)
-    t0 = time.perf_counter()
+    # process CPU time, not wall time: the gate must measure the
+    # algorithm, not whatever else shares the machine's cores
+    t0 = time.process_time()
     rows = manysearch(query, target, threshold=0.0)
-    dt = time.perf_counter() - t0
+    dt = time.process_time() - t0
     assert len(rows) > 100_000  # dense hit set — the hard case
     # slow shared CI runners (+ coverage tracing) get headroom; the
     # tight 10 s gate holds on dev machines

@@ -255,3 +255,37 @@ def test_default_capacity_retries_on_overflow(monkeypatch):
     small = sparse_search(target, q_hi, q_lo, q_valid, capacity=128)
     assert caps == [128]  # no retry for an explicit bound
     assert small.n_hits == full.n_hits and len(small.q) == 128
+
+
+def test_chunked_overflow_retries_exact(monkeypatch):
+    """When a chunk's auto-sized capacity overflows inside the scan
+    launch, that chunk is re-run at its exact hit count — the chunked
+    result stays bit-equal to the unchunked one."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(83)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=200, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(80, 20, pool, 21)
+    query = _mk_index(33, 15, pool, 22)
+    q_hi, q_lo, q_valid = _query_block(query)
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    # shrink the auto capacity floor so at least one chunk overflows
+    monkeypatch.setattr(sp, "_CHUNK_CAP_FLOOR", 128)
+    monkeypatch.setattr(sp, "_SCAN_SLOT_BUDGET", 128)
+    singles = []
+    real = sp._sparse_single
+
+    def spy(*a, **k):
+        singles.append(k.get("capacity"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(sp, "_sparse_single", spy)
+    chunked = sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
+    assert singles, "expected at least one exact-capacity chunk retry"
+    assert chunked.n_hits == full.n_hits
+    assert np.array_equal(chunked.q, full.q)
+    assert np.array_equal(chunked.t, full.t)
+    assert np.array_equal(chunked.count, full.count)
+    assert np.array_equal(chunked.weight, full.weight)
