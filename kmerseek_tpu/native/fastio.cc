@@ -206,4 +206,90 @@ double ks_sketch_cpu_batch(const char* encoded_concat, const int64_t* offsets,
   return std::chrono::duration<double>(t1 - t0).count();
 }
 
+// ---------------------------------------------------------------------------
+// Stable multithreaded LSD radix argsort over u64 keys
+// ---------------------------------------------------------------------------
+//
+// The inverted posting build (ops/inverted.py::build_inverted_np, the
+// TPU-native counterpart of branchwater's do_index revindex sort) needs
+// a stable argsort of every posting hash in the corpus — ~50M u64 at
+// SwissProt scale, where numpy's single-threaded comparison sort is the
+// dominant index-build cost. Four 16-bit LSD passes over (key, idx)
+// pairs, each pass: per-thread histograms → exclusive scan → stable
+// parallel scatter. Passes whose digit is constant across all keys are
+// skipped (common: the scaled filter bounds the high bits).
+//
+// Returns 0 on success, -1 if n exceeds the u32 index range.
+int32_t ks_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order,
+                       int32_t n_threads) {
+  if (n < 0 || n > (int64_t)0xFFFFFFFF) return -1;
+  if (n == 0) return 0;
+  if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n) n_threads = (int32_t)n;
+  const int32_t T = n_threads;
+  constexpr int kRadixBits = 16;
+  constexpr int64_t kBuckets = 1 << kRadixBits;
+  constexpr uint64_t kMask = kBuckets - 1;
+
+  std::vector<uint64_t> key_a(keys, keys + n), key_b(n);
+  std::vector<uint32_t> idx_a(n), idx_b(n);
+  for (int64_t i = 0; i < n; i++) idx_a[i] = (uint32_t)i;
+  uint64_t* cur_k = key_a.data();
+  uint64_t* alt_k = key_b.data();
+  uint32_t* cur_i = idx_a.data();
+  uint32_t* alt_i = idx_b.data();
+
+  // chunk bounds per thread
+  std::vector<int64_t> bounds(T + 1);
+  for (int32_t t = 0; t <= T; t++) bounds[t] = n * t / T;
+
+  std::vector<std::vector<uint64_t>> hist(T,
+                                          std::vector<uint64_t>(kBuckets));
+  auto run_threads = [&](auto fn) {
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < T; t++) ths.emplace_back(fn, t);
+    for (auto& th : ths) th.join();
+  };
+
+  for (int pass = 0; pass < 4; pass++) {
+    const int shift = pass * kRadixBits;
+    run_threads([&](int32_t t) {
+      auto& h = hist[t];
+      std::fill(h.begin(), h.end(), 0);
+      for (int64_t i = bounds[t]; i < bounds[t + 1]; i++)
+        h[(cur_k[i] >> shift) & kMask]++;
+    });
+    // skip a pass whose digit is constant across the whole array
+    {
+      uint64_t first_digit = (cur_k[0] >> shift) & kMask;
+      uint64_t in_first = 0;
+      for (int32_t t = 0; t < T; t++) in_first += hist[t][first_digit];
+      if (in_first == (uint64_t)n) continue;
+    }
+    // exclusive scan: global offset for (bucket, thread)
+    uint64_t off = 0;
+    for (int64_t b = 0; b < kBuckets; b++) {
+      for (int32_t t = 0; t < T; t++) {
+        uint64_t c = hist[t][b];
+        hist[t][b] = off;
+        off += c;
+      }
+    }
+    run_threads([&](int32_t t) {
+      auto& h = hist[t];
+      for (int64_t i = bounds[t]; i < bounds[t + 1]; i++) {
+        uint64_t d = (cur_k[i] >> shift) & kMask;
+        uint64_t pos = h[d]++;
+        alt_k[pos] = cur_k[i];
+        alt_i[pos] = cur_i[i];
+      }
+    });
+    std::swap(cur_k, alt_k);
+    std::swap(cur_i, alt_i);
+  }
+  for (int64_t i = 0; i < n; i++) out_order[i] = (int64_t)cur_i[i];
+  return 0;
+}
+
 }  // extern "C"

@@ -93,7 +93,11 @@ class InvertedIndex(NamedTuple):
         lead_z = 64 - max_hash.bit_length() if max_hash else 0
         shift = max(64 - BUCKET_BITS - lead_z, 32)
         tops = (g >> np.uint64(shift)).astype(np.int64)
-        starts = np.searchsorted(tops, np.arange(1 << BUCKET_BITS))
+        # O(N) bincount + cumsum ≡ searchsorted(tops, arange(2^BITS))
+        # on the sorted tops (first index with top >= b), without the
+        # 2^BITS binary searches
+        counts = np.bincount(tops, minlength=1 << BUCKET_BITS)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         starts = np.append(starts, len(self.g_hi)).astype(np.int32)
         max_span = int(np.diff(starts).max(initial=1))
         return self._replace(
@@ -155,12 +159,36 @@ def clear_device_postings(inv: InvertedIndex | None = None) -> None:
         _DEVICE_CACHE.pop(id(inv.g_hi), None)
 
 
+# corpora below this posting count sort faster in numpy than through
+# the ctypes boundary + thread spawn of the native radix sort
+_NATIVE_SORT_MIN = 1 << 20
+
+
+def _stable_argsort_u64(mins: np.ndarray) -> np.ndarray:
+    """Stable argsort of the posting hashes.
+
+    At corpus scale (SwissProt ~50M postings) this is the dominant
+    index-build cost; the native multithreaded LSD radix sort
+    (``native.argsort_u64``) replaces numpy's single-threaded
+    comparison sort, falling back transparently when the library is
+    unavailable. Both are stable, so the posting order (tid-ascending
+    within each equal-hash run) is identical either way."""
+    if len(mins) >= _NATIVE_SORT_MIN:
+        from .. import native
+
+        try:
+            return native.argsort_u64(mins)
+        except native.NativeUnsupported:
+            pass
+    return np.argsort(mins, kind="stable")
+
+
 def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndarray) -> InvertedIndex:
     """Build from a ProteomeIndex's CSR arrays (host, numpy)."""
     T = len(offsets) - 1
     counts = np.diff(offsets)
     tid = np.repeat(np.arange(T, dtype=np.int32), counts)
-    order = np.argsort(mins, kind="stable")
+    order = _stable_argsort_u64(mins)
     g = mins[order]
     tid = tid[order]
     ab = abundances[order].astype(np.int32)

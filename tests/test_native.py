@@ -81,3 +81,65 @@ def test_fasta_reader_uses_native(bcl2_first25):
     records = read_fasta(bcl2_first25)
     assert len(records) == 25
     assert records[0].name.startswith("sp|O43236|SEPT4_HUMAN")
+
+
+def test_native_argsort_u64_matches_numpy_stable():
+    """The radix argsort must be a bit-exact stable argsort: the
+    inverted posting build relies on ties (equal hashes) keeping CSR
+    order so posting runs stay tid-ascending."""
+    if not native.available():
+        import pytest
+
+        pytest.skip("libkseek.so unavailable")
+    rng = np.random.default_rng(19)
+    for n in [0, 1, 7, 1000, 65537]:
+        keys = rng.integers(0, 2**62, size=n, dtype=np.uint64)
+        if n >= 4:
+            keys[: n // 2] = keys[n // 2 : n // 2 + n // 2]  # duplicates
+        got = native.argsort_u64(keys, n_threads=3)
+        want = np.argsort(keys, kind="stable")
+        assert np.array_equal(got, want), f"n={n}"
+    # narrow key range: exercises the constant-digit pass skip
+    keys = rng.integers(0, 1000, size=50_000, dtype=np.uint64)
+    assert np.array_equal(
+        native.argsort_u64(keys), np.argsort(keys, kind="stable")
+    )
+
+
+def test_build_inverted_uses_native_sort(monkeypatch):
+    """Above the size threshold build_inverted_np routes through the
+    native argsort and produces the identical InvertedIndex."""
+    import kmerseek_tpu.ops.inverted as inv_mod
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("libkseek.so unavailable")
+    rng = np.random.default_rng(23)
+    T, S = 300, 24
+    mins = np.sort(
+        rng.integers(0, 2**40, size=(T, S), dtype=np.uint64), axis=1
+    ).reshape(-1)
+    ab = rng.integers(1, 5, size=len(mins)).astype(np.int64)
+    offsets = np.arange(T + 1, dtype=np.int64) * S
+    ref = inv_mod.build_inverted_np(mins, ab, offsets)
+
+    calls = []
+    real = native.argsort_u64
+
+    def spy(keys, n_threads=None):
+        calls.append(len(keys))
+        return real(keys, n_threads)
+
+    monkeypatch.setattr(inv_mod, "_NATIVE_SORT_MIN", 1)
+    import kmerseek_tpu.native as nat
+
+    monkeypatch.setattr(nat, "argsort_u64", spy)
+    got = inv_mod.build_inverted_np(mins, ab, offsets)
+    assert calls == [len(mins)]
+    assert np.array_equal(got.g_hi, ref.g_hi)
+    assert np.array_equal(got.g_lo, ref.g_lo)
+    assert np.array_equal(got.tid, ref.tid)
+    assert np.array_equal(got.ab, ref.ab)
+    assert got.max_run == ref.max_run
+    assert np.array_equal(got.bucket_starts, ref.bucket_starts)
