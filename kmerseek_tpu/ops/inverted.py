@@ -210,13 +210,20 @@ def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndar
 
 
 def _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, steps):
-    """``steps`` rounds of vectorized binary search within [lo, hi)."""
+    """``steps`` rounds of vectorized binary search within [lo, hi).
+
+    The ``lo`` update is guarded by ``lo < hi``: once converged with
+    ``lo == hi == N`` (query above the whole span), the clipped gather
+    reads row N-1 and an unguarded compare would push ``lo`` to N+1 —
+    harmless for the dense engines (their ``p < N`` mask absorbs it)
+    but fatal for the compact expansion, whose run lengths are exact
+    ``ub - lb`` differences."""
     for _ in range(steps):
         mid = (lo + hi) >> 1
         mh = jnp.take(g_hi, mid, mode="clip")
         ml = jnp.take(g_lo, mid, mode="clip")
         less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
-        lo = jnp.where(less, mid + 1, lo)
+        lo = jnp.where(less & (lo < hi), mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     return lo
 
@@ -248,13 +255,17 @@ def _bucketed_lower_bound(
 
 def _bisect_rounds_packed(g4, q_hi, q_lo, lo, hi, steps):
     """Bisect against the interleaved (N, 4) posting array — one gather
-    row per round instead of two independent hi/lo gathers."""
+    row per round instead of two independent hi/lo gathers. The ``lo``
+    update carries the same ``lo < hi`` convergence guard as
+    ``_bisect_rounds`` (see there); without it a probe above the whole
+    span returns N+1, which overcounts the compact expansion's exact
+    ``ub - lb`` run lengths."""
     for _ in range(steps):
         mid = (lo + hi) >> 1
         row = jnp.take(g4, jnp.minimum(mid, g4.shape[0] - 1), axis=0)
         mh, ml = row[..., 0], row[..., 1]
         less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
-        lo = jnp.where(less, mid + 1, lo)
+        lo = jnp.where(less & (lo < hi), mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     return lo
 

@@ -30,6 +30,7 @@ when max_run·S ≫ T; ``core.search`` picks per call.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import NamedTuple
 
 import jax
@@ -67,34 +68,89 @@ def _sparse_hits_core(
     span_steps: int,
     bucket_shift: int,
     run_offset,
+    expand_e: int | None = None,
 ):
-    """Traced body shared by the single-block and scan-chunked kernels."""
+    """Traced body shared by the single-block and scan-chunked kernels.
+
+    Two expansion strategies produce the flat (q_key, t, w) match
+    tuples that the shared sort-segment tail consumes:
+
+    * ``expand_e is None`` — rectangular: every probe expands
+      ``max_run`` posting slots, (max_run, Q, S) tuples total. Simple,
+      but sized by the corpus' WORST posting run: with mean run ~6 and
+      max_run 41 (SwissProt-scale synthetic), ~90% of the sorted tuples
+      are sentinels (measured on-chip: the sort dominates the kernel).
+    * ``expand_e = E`` — compact: a second bucketed probe at hash+1
+      yields each run's exact length; an exclusive cumsum lays the true
+      matches out contiguously, a scatter-max of the (Q·S) segment
+      starts + ``cummax`` fill assigns each of the E slots its probe,
+      and only ~M = Σrun tuples are gathered and sorted. The host
+      learns E per (index, block shape) and retries on E < M (the
+      kernel reports the exact M).
+
+    Returns (q_out, t_out, counts, weights, stats) where stats =
+    [n_hits, m_total] (int32).
+    """
     Q, S = q_hi.shape
     N = g4.shape[0]
     pos = _bucketed_lower_bound_packed(
         g4, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
     )
 
-    # expand runs: (max_run, Q, S) match tuples
-    r = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 0)
-    p = pos[None, :, :] + jnp.int32(run_offset) + r
-    idx = jnp.minimum(p, N - 1)
-    row = jnp.take(g4, idx, axis=0)  # (max_run, Q, S, 4) — one gather
-    match = (
-        q_valid[None]
-        & (row[..., 0] == q_hi[None])
-        & (row[..., 1] == q_lo[None])
-        & (p < N)
-    )
-    t = jnp.where(match, row[..., 2].astype(jnp.int32), jnp.int32(n_targets))
-    q = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 1)
-    q_key = jnp.where(match, q, jnp.int32(Q))  # sentinel: sinks to end
-    w = jnp.where(match, row[..., 3].astype(jnp.int32), 0)
+    if expand_e is None:
+        # rectangular expansion: (max_run, Q, S) match tuples
+        r = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 0)
+        p = pos[None, :, :] + jnp.int32(run_offset) + r
+        idx = jnp.minimum(p, N - 1)
+        row = jnp.take(g4, idx, axis=0)  # (max_run, Q, S, 4) — one gather
+        match = (
+            q_valid[None]
+            & (row[..., 0] == q_hi[None])
+            & (row[..., 1] == q_lo[None])
+            & (p < N)
+        )
+        t = jnp.where(match, row[..., 2].astype(jnp.int32), jnp.int32(n_targets))
+        q = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 1)
+        q_key = jnp.where(match, q, jnp.int32(Q))  # sentinel: sinks to end
+        w = jnp.where(match, row[..., 3].astype(jnp.int32), 0)
+        q_key, t, w = q_key.reshape(-1), t.reshape(-1), w.reshape(-1)
+        m_total = jnp.sum(match.astype(jnp.int32))
+    else:
+        E = expand_e
+        # exact run length: lower_bound(hash+1) - lower_bound(hash).
+        # (hash == u64::MAX wraps to 0 — its upper bound is N.)
+        lo1 = q_lo + jnp.uint32(1)
+        hi1 = q_hi + (lo1 == 0).astype(jnp.uint32)
+        wrapped = (q_hi == jnp.uint32(0xFFFFFFFF)) & (
+            q_lo == jnp.uint32(0xFFFFFFFF)
+        )
+        ub = _bucketed_lower_bound_packed(
+            g4, bucket_starts, hi1, lo1, span_steps, bucket_shift
+        )
+        ub = jnp.where(wrapped, jnp.int32(N), ub)
+        cnt = jnp.where(q_valid, ub - pos, 0)
+        # run-offset window [run_offset, run_offset + max_run)
+        cnt = jnp.clip(cnt - jnp.int32(run_offset), 0, max_run)
+        cntf = cnt.reshape(-1)  # (P,) probes, P = Q·S
+        lbf = (pos + jnp.int32(run_offset)).reshape(-1)
+        offs = jnp.cumsum(cntf) - cntf  # exclusive; M ≤ Q·S·max_run
+        m_total = offs[-1] + cntf[-1]
+        P = cntf.shape[0]
+        pid = jnp.arange(P, dtype=jnp.int32)
+        # segment-start ownership: probes sharing an offset are one
+        # non-empty probe plus preceding empties — max pid wins
+        seg0 = jnp.zeros(E, jnp.int32).at[offs].max(pid + 1, mode="drop")
+        probe = jax.lax.cummax(seg0) - 1  # (E,) owning probe per slot
+        rank = jnp.arange(E, dtype=jnp.int32) - jnp.take(offs, probe)
+        valid_t = rank < jnp.take(cntf, probe)
+        idx = jnp.take(lbf, probe) + rank
+        row = jnp.take(g4, jnp.clip(idx, 0, N - 1), axis=0)  # (E, 4)
+        t = jnp.where(valid_t, row[:, 2].astype(jnp.int32), jnp.int32(n_targets))
+        q_key = jnp.where(valid_t, probe // jnp.int32(S), jnp.int32(Q))
+        w = jnp.where(valid_t, row[:, 3].astype(jnp.int32), 0)
 
     # one lexicographic sort groups equal (q, t) pairs contiguously
-    sq, st, sw = jax.lax.sort(
-        (q_key.reshape(-1), t.reshape(-1), w.reshape(-1)), num_keys=2
-    )
+    sq, st, sw = jax.lax.sort((q_key, t, w), num_keys=2)
     valid = sq < Q
     prev_q = jnp.concatenate([jnp.full((1,), -1, sq.dtype), sq[:-1]])
     prev_t = jnp.concatenate([jnp.full((1,), -1, st.dtype), st[:-1]])
@@ -114,13 +170,15 @@ def _sparse_hits_core(
     t_out = jnp.full(capacity, n_targets, jnp.int32).at[head_slot].set(
         st, mode="drop"
     )
-    return q_out, t_out, counts, weights, n_hits
+    stats = jnp.stack([n_hits, m_total.astype(jnp.int32)])
+    return q_out, t_out, counts, weights, stats
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
+        "expand_e",
     ),
 )
 def inverted_sparse_hits(
@@ -136,6 +194,7 @@ def inverted_sparse_hits(
     span_steps: int,
     bucket_shift: int = 48,
     run_offset=0,
+    expand_e: int | None = None,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
@@ -167,6 +226,7 @@ def inverted_sparse_hits(
         span_steps=span_steps,
         bucket_shift=bucket_shift,
         run_offset=run_offset,
+        expand_e=expand_e,
     )
 
 
@@ -174,6 +234,7 @@ def inverted_sparse_hits(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
+        "expand_e",
     ),
 )
 def inverted_sparse_hits_chunks(
@@ -189,6 +250,7 @@ def inverted_sparse_hits_chunks(
     span_steps: int,
     bucket_shift: int = 48,
     run_offset=0,
+    expand_e: int | None = None,
 ):
     """All query chunks in ONE compiled program via ``lax.scan``.
 
@@ -215,6 +277,7 @@ def inverted_sparse_hits_chunks(
             span_steps=span_steps,
             bucket_shift=bucket_shift,
             run_offset=run_offset,
+            expand_e=expand_e,
         )
         return carry, out
 
@@ -228,6 +291,41 @@ def inverted_sparse_hits_chunks(
 # host — kernel memory stays O(Q·S·_RUN_TILE) no matter how pathological
 # the posting runs are
 _RUN_TILE = 2048
+
+# learned compact-expansion budgets: (id(g_hi), Q, S) → pow2 slot count.
+# Seeded at 4·Q·S (≈ mean run 4 over half-hit probes), then updated to
+# 2× the observed match total M — the kernel reports exact M, so an
+# undersized E is always detected and retried, never silently wrong.
+_EXPAND_CACHE: "OrderedDict[tuple, int]" = OrderedDict()
+_EXPAND_CACHE_SLOTS = 16
+# compact expansion on by default; None falls back to the rectangular
+# (max_run, Q, S) expansion (kept for A/B tests and tiny blocks)
+COMPACT_EXPANSION = True
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
+    """Static E for the compact expansion (None → rectangular path)."""
+    if not COMPACT_EXPANSION:
+        return None
+    key = (id(inv.g_hi), Q, S)
+    e = _EXPAND_CACHE.get(key)
+    if e is None:
+        e = _pow2(4 * Q * S)
+    # never above the rectangular worst case, never trivial
+    return max(128, min(e, _pow2(Q * S * max_run)))
+
+
+def _note_expand(inv: InvertedIndex, Q: int, S: int, m_seen: int) -> None:
+    key = (id(inv.g_hi), Q, S)
+    e = max(_EXPAND_CACHE.get(key, 0), _pow2(2 * max(m_seen, 64)))
+    _EXPAND_CACHE[key] = e
+    _EXPAND_CACHE.move_to_end(key)
+    while len(_EXPAND_CACHE) > _EXPAND_CACHE_SLOTS:
+        _EXPAND_CACHE.popitem(last=False)
 
 
 def _sparse_single(
@@ -249,8 +347,10 @@ def _sparse_single(
         capacity = min(Q * S * max_run, 4 * 1024 * 1024)
     capacity = max(((capacity + 127) // 128) * 128, 128)
     binv, g4, bucket_starts = device_postings(inv)
+    Qn, Sn = int(Q), int(S)
+    expand_e = _expand_budget(inv, Qn, Sn, max_run)
 
-    def run(cap: int):
+    def run(cap: int, e):
         return inverted_sparse_hits(
             g4,
             bucket_starts,
@@ -263,14 +363,22 @@ def _sparse_single(
             span_steps=max(int(binv.max_span).bit_length(), 1),
             bucket_shift=binv.bucket_shift,
             run_offset=run_offset,
+            expand_e=e,
         )
 
-    q_out, t_out, counts, weights, n_hits = run(int(capacity))
-    n = int(n_hits)
+    q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
+    n, m = (int(v) for v in np.asarray(stats))
+    if expand_e is not None and m > expand_e:
+        # compact budget undersized: retry at the exact match total
+        expand_e = max(128, min(_pow2(m), _pow2(Qn * Sn * max_run)))
+        q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
+        n, m = (int(v) for v in np.asarray(stats))
+    if expand_e is not None:
+        _note_expand(inv, Qn, Sn, m)
     if retry_on_overflow and n > capacity:
         capacity = ((n + 127) // 128) * 128
-        q_out, t_out, counts, weights, n_hits = run(int(capacity))
-        n = int(n_hits)
+        q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
+        n = int(np.asarray(stats)[0])
     h = min(n, int(capacity))
     # slice on DEVICE before fetching: the buffers are capacity-sized
     # but only the first h slots carry hits — at UniProt scale fetching
@@ -322,20 +430,36 @@ def _sparse_chunks(
         cap = min(Qc * S * max_run, max(_CHUNK_CAP_FLOOR, _SCAN_SLOT_BUDGET // C))
     cap = max(((cap + 127) // 128) * 128, 128)
     binv, g4, bucket_starts = device_postings(inv)
-    q_out, t_out, counts, weights, n_hits = inverted_sparse_hits_chunks(
-        g4,
-        bucket_starts,
-        jnp.asarray(q_hi3),
-        jnp.asarray(q_lo3),
-        jnp.asarray(q_valid3),
-        n_targets=binv.n_targets,
-        max_run=max_run,
-        capacity=int(cap),
-        span_steps=max(int(binv.max_span).bit_length(), 1),
-        bucket_shift=binv.bucket_shift,
-        run_offset=run_offset,
-    )
-    n = np.asarray(n_hits)  # the single host sync for every chunk
+    expand_e = _expand_budget(inv, int(Qc), int(S), max_run)
+
+    def run(e):
+        return inverted_sparse_hits_chunks(
+            g4,
+            bucket_starts,
+            jnp.asarray(q_hi3),
+            jnp.asarray(q_lo3),
+            jnp.asarray(q_valid3),
+            n_targets=binv.n_targets,
+            max_run=max_run,
+            capacity=int(cap),
+            span_steps=max(int(binv.max_span).bit_length(), 1),
+            bucket_shift=binv.bucket_shift,
+            run_offset=run_offset,
+            expand_e=e,
+        )
+
+    q_out, t_out, counts, weights, stats = run(expand_e)
+    nm = np.asarray(stats)  # (C, 2): the single host sync for every chunk
+    if expand_e is not None and int(nm[:, 1].max()) > expand_e:
+        # compact budget undersized for some chunk: one exact retry
+        expand_e = max(
+            128, min(_pow2(int(nm[:, 1].max())), _pow2(int(Qc) * int(S) * max_run))
+        )
+        q_out, t_out, counts, weights, stats = run(expand_e)
+        nm = np.asarray(stats)
+    if expand_e is not None:
+        _note_expand(inv, int(Qc), int(S), int(nm[:, 1].max()))
+    n = nm[:, 0]
     hs = np.minimum(n, int(cap))
     # shared power-of-two trim across chunks: one slice program per hp
     hp = min(int(cap), max(128, 1 << (int(max(hs.max(), 1)) - 1).bit_length()))

@@ -289,3 +289,117 @@ def test_chunked_overflow_retries_exact(monkeypatch):
     assert np.array_equal(chunked.t, full.t)
     assert np.array_equal(chunked.count, full.count)
     assert np.array_equal(chunked.weight, full.weight)
+
+
+def test_lower_bound_exact_above_corpus_max():
+    """Regression: a probe above the whole posting array (or a whole
+    bucket) must bisect to exactly N, not N+1 — the compact expansion
+    derives run lengths as exact ub - lb differences, so a +1 overshoot
+    fabricated a phantom posting row (caught as a count mismatch in
+    test_sparse_matches_dense[0] before the lo<hi convergence guard)."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.inverted import (
+        _bucketed_lower_bound_packed,
+        build_inverted_np,
+        device_postings,
+    )
+
+    rng = np.random.default_rng(100)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=400, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(60, 20, pool, 0)
+    inv = build_inverted_np(target.mins, target.abundances, target.offsets)
+    binv, g4, bucket_starts = device_postings(inv)
+    N = g4.shape[0]
+    g = (inv.g_hi.astype(np.uint64) << np.uint64(32)) | inv.g_lo.astype(
+        np.uint64
+    )
+    # probes: every posting hash, its successor (upper bound), the
+    # corpus max + 1, and u64 max — all must match numpy searchsorted
+    probes = np.concatenate(
+        [g, g + np.uint64(1), [np.uint64(0xFFFFFFFFFFFFFFFF)]]
+    )
+    want = np.searchsorted(g, probes, side="left")
+    q_hi = jnp.asarray((probes >> np.uint64(32)).astype(np.uint32))[None, :]
+    q_lo = jnp.asarray((probes & np.uint64(0xFFFFFFFF)).astype(np.uint32))[
+        None, :
+    ]
+    got = np.asarray(
+        _bucketed_lower_bound_packed(
+            g4,
+            bucket_starts,
+            q_hi,
+            q_lo,
+            max(int(binv.max_span).bit_length(), 1),
+            binv.bucket_shift,
+        )
+    )[0]
+    assert got.max() <= N
+    assert np.array_equal(got, want)
+
+
+def test_compact_vs_rectangular_bit_equal(monkeypatch):
+    """The compact expansion (exact run lengths + segment-fill gather)
+    must be bit-equal to the rectangular (max_run, Q, S) expansion on
+    randomized blocks — same hits, counts, weights, order."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    for seed in range(4):
+        rng = np.random.default_rng(500 + seed)
+        pool = np.sort(
+            rng.choice(
+                np.uint64(2) ** 62, size=300, replace=False
+            ).astype(np.uint64)
+        )
+        target = _mk_index(70, 20, pool, 600 + seed)
+        query = _mk_index(20, 15, pool, 700 + seed)
+        q_hi, q_lo, q_valid = _query_block(query)
+        monkeypatch.setattr(sp, "COMPACT_EXPANSION", True)
+        compact = sparse_search(target, q_hi, q_lo, q_valid)
+        monkeypatch.setattr(sp, "COMPACT_EXPANSION", False)
+        rect = sparse_search(target, q_hi, q_lo, q_valid)
+        assert compact.n_hits == rect.n_hits
+        assert np.array_equal(compact.q, rect.q)
+        assert np.array_equal(compact.t, rect.t)
+        assert np.array_equal(compact.count, rect.count)
+        assert np.array_equal(compact.weight, rect.weight)
+
+
+def test_compact_undersized_budget_retries_exact(monkeypatch):
+    """An undersized learned E must be detected via the kernel's exact
+    match total and retried — never silently dropping matches — and the
+    cache must learn the larger budget for the next call."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(91)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=150, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(50, 20, pool, 23)
+    query = _mk_index(15, 15, pool, 24)
+    q_hi, q_lo, q_valid = _query_block(query)
+    monkeypatch.setattr(sp, "COMPACT_EXPANSION", False)
+    truth = sparse_search(target, q_hi, q_lo, q_valid)
+    monkeypatch.setattr(sp, "COMPACT_EXPANSION", True)
+
+    # poison the cache with a tiny budget for this (index, Q, S)
+    Q, S = np.asarray(q_hi).shape
+    key = (id(target.inverted.g_hi), Q, S)
+    monkeypatch.setitem(sp._EXPAND_CACHE, key, 128)
+    es = []
+    real = sp.inverted_sparse_hits
+
+    def spy(*a, **k):
+        es.append(k["expand_e"])
+        return real(*a, **k)
+
+    monkeypatch.setattr(sp, "inverted_sparse_hits", spy)
+    got = sparse_search(target, q_hi, q_lo, q_valid)
+    assert len(es) == 2 and es[0] == 128 and es[1] > 128  # retry happened
+    assert got.n_hits == truth.n_hits
+    assert np.array_equal(got.q, truth.q)
+    assert np.array_equal(got.count, truth.count)
+    assert np.array_equal(got.weight, truth.weight)
+    assert sp._EXPAND_CACHE[key] >= es[1]  # budget learned
