@@ -27,6 +27,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kmerseek_tpu.utils.hostmem import tune_host_allocator
+
+tune_host_allocator()  # corpus-scale numpy temporaries: reuse arena pages
+
 CORPUS = (
     "/root/reference/tests/testdata/fasta/"
     "uniprotkb_protein_name_Uncharacterized_2025_04_15.fasta.gz"

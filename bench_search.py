@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kmerseek_tpu.utils.hostmem import tune_host_allocator
+
+tune_host_allocator()  # corpus-scale numpy temporaries: reuse arena pages
+
 TARGETS = 20000  # ~human proteome scale
 # 1024-query blocks: on-chip A/B measured 80.6k q/s at Q=1024 vs 39k at
 # Q=256 (same engine/window) — bigger blocks amortize dispatch overhead

@@ -27,6 +27,9 @@ from .utils.logging import logger, setup_logging
 def cli():
     """kmerseek-tpu: protein domain annotation search with reduced
     amino acid k-mers, TPU-native."""
+    from .utils.hostmem import tune_host_allocator
+
+    tune_host_allocator()  # corpus-scale numpy: reuse arena pages
 
 
 @cli.command()

@@ -59,9 +59,9 @@ class InvertedIndex(NamedTuple):
 
     def g64(self) -> np.ndarray:
         """Sorted uint64 posting hashes (host searchsorted joins)."""
-        return (self.g_hi.astype(np.uint64) << np.uint64(32)) | self.g_lo.astype(
-            np.uint64
-        )
+        from .u64 import join_np
+
+        return join_np(self.g_hi, self.g_lo)
 
     def packed(self) -> np.ndarray:
         """(N, 4) uint32 interleaved postings [hi, lo, tid, ab]: one
@@ -88,11 +88,16 @@ class InvertedIndex(NamedTuple):
         id comes from the high word alone)."""
         if self.bucket_starts is not None:
             return self
-        g = self.g64()
-        max_hash = int(g[-1]) if len(g) else 0
+        n = len(self.g_hi)
+        max_hash = (
+            (int(self.g_hi[-1]) << 32) | int(self.g_lo[-1]) if n else 0
+        )
         lead_z = 64 - max_hash.bit_length() if max_hash else 0
         shift = max(64 - BUCKET_BITS - lead_z, 32)
-        tops = (g >> np.uint64(shift)).astype(np.int64)
+        # shift is clamped >= 32, so the bucket id is a pure high-word
+        # shift — u32 arithmetic; the equivalent u64 shift over the
+        # whole corpus runs ~25x slower on this host class (u64.split_np)
+        tops = (self.g_hi >> np.uint32(shift - 32)).astype(np.int64)
         # O(N) bincount + cumsum ≡ searchsorted(tops, arange(2^BITS))
         # on the sorted tops (first index with top >= b), without the
         # 2^BITS binary searches
@@ -184,7 +189,16 @@ def _stable_argsort_u64(mins: np.ndarray) -> np.ndarray:
 
 
 def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndarray) -> InvertedIndex:
-    """Build from a ProteomeIndex's CSR arrays (host, numpy)."""
+    """Build from a ProteomeIndex's CSR arrays (host, numpy).
+
+    Tunes the process allocator first (``utils.hostmem``): the build's
+    corpus-sized temporaries otherwise repay the VM's ~100 MB/s
+    first-touch page-fault cost per allocation — measured 295 s → 75 s
+    at 50M postings. The retained arena is ~2x the index the caller
+    keeps anyway."""
+    from ..utils.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     T = len(offsets) - 1
     counts = np.diff(offsets)
     tid = np.repeat(np.arange(T, dtype=np.int32), counts)
@@ -199,14 +213,10 @@ def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndar
         max_run = int((run_ends - run_starts).max())
     else:
         max_run = 1
-    return InvertedIndex(
-        (g >> np.uint64(32)).astype(np.uint32),
-        (g & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        tid,
-        ab,
-        T,
-        max_run,
-    ).with_buckets()
+    from .u64 import split_np
+
+    g_hi, g_lo = split_np(g)
+    return InvertedIndex(g_hi, g_lo, tid, ab, T, max_run).with_buckets()
 
 
 def _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, steps):

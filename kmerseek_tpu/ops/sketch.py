@@ -297,7 +297,9 @@ def finalize_sorted_np(s_hi, s_lo, first, n_kept):
         raise ValueError(
             f"sketch capacity overflow: {n_kept.max()} > {S}"
         )
-    h64 = (s_hi.astype(np.uint64) << np.uint64(32)) | s_lo.astype(np.uint64)
+    from .u64 import join_np
+
+    h64 = join_np(s_hi, s_lo)
     flat_first = np.flatnonzero(first)
     rows = flat_first // S
     pos = flat_first - rows * S
@@ -366,7 +368,9 @@ def finalize_sketches_np(hi, lo, counts):
         raise ValueError(
             f"compact capacity overflow: {counts.max()} > {hi.shape[1]}"
         )
-    h64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    from .u64 import join_np
+
+    h64 = join_np(hi, lo)
     mins_out, ab_out = [], []
     for i in range(h64.shape[0]):
         uniq, cnt = np.unique(h64[i, : counts[i]], return_counts=True)

@@ -206,3 +206,38 @@ def test_store_raw_sequences_roundtrip(tmp_path):
     idx.save(p)
     idx2 = ProteomeIndex.load(p)
     assert idx2.sequences == idx.sequences
+
+
+def test_u64_split_join_view_roundtrip():
+    """The byte-view split/join (fast path on this host class: numpy's
+    u64 shift kernels run ~25x slower than copies) must be bit-equal to
+    the shift arithmetic over edge values, shapes, and scalars."""
+    import numpy as np
+
+    from kmerseek_tpu.ops import u64
+
+    v = np.array(
+        [0, 1, 0xFFFFFFFF, 0x100000000, 0xFFFFFFFFFFFFFFFF, 0x123456789ABCDEF0],
+        dtype=np.uint64,
+    )
+    hi, lo = u64.split_np(v)
+    assert hi.dtype == np.uint32 and lo.dtype == np.uint32
+    assert np.array_equal(hi, (v >> np.uint64(32)).astype(np.uint32))
+    assert np.array_equal(lo, (v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    assert np.array_equal(u64.join_np(hi, lo), v)
+    # 2-D, non-contiguous input, scalar, empty
+    m = np.arange(24, dtype=np.uint64).reshape(4, 6) * np.uint64(2**33 + 7)
+    h2, l2 = u64.split_np(m[::2])
+    assert np.array_equal(u64.join_np(h2, l2), m[::2])
+    hs, ls = u64.split_np(np.uint64(0x0123456789ABCDEF))
+    assert int(hs) == 0x01234567 and int(ls) == 0x89ABCDEF
+    he, le = u64.split_np(np.zeros(0, np.uint64))
+    assert u64.join_np(he, le).shape == (0,)
+
+
+def test_tune_host_allocator_idempotent():
+    from kmerseek_tpu.utils.hostmem import tune_host_allocator
+
+    assert tune_host_allocator() in (True, False)
+    # second call must be a no-op returning the cached result
+    assert tune_host_allocator() == tune_host_allocator()
