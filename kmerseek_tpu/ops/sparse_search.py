@@ -39,6 +39,7 @@ import numpy as np
 
 from .inverted import (
     InvertedIndex,
+    _bisect_rounds_packed,
     _bucketed_lower_bound_packed,
     build_inverted_np,
     device_postings,
@@ -93,9 +94,21 @@ def _sparse_hits_core(
     """
     Q, S = q_hi.shape
     N = g4.shape[0]
-    pos = _bucketed_lower_bound_packed(
-        g4, bucket_starts, q_hi, q_lo, span_steps, bucket_shift
-    )
+
+    def lower_bound(hi, lo):
+        # bucket_starts=None → full-range bisect (the mode used per
+        # shard by the hash-range-sharded engine, whose local posting
+        # slices have no bucket table; span_steps must cover log2(N))
+        if bucket_starts is None:
+            z = jnp.zeros(hi.shape, jnp.int32)
+            return _bisect_rounds_packed(
+                g4, hi, lo, z, jnp.full(hi.shape, N, jnp.int32), span_steps
+            )
+        return _bucketed_lower_bound_packed(
+            g4, bucket_starts, hi, lo, span_steps, bucket_shift
+        )
+
+    pos = lower_bound(q_hi, q_lo)
 
     if expand_e is None:
         # rectangular expansion: (max_run, Q, S) match tuples
@@ -124,9 +137,7 @@ def _sparse_hits_core(
         wrapped = (q_hi == jnp.uint32(0xFFFFFFFF)) & (
             q_lo == jnp.uint32(0xFFFFFFFF)
         )
-        ub = _bucketed_lower_bound_packed(
-            g4, bucket_starts, hi1, lo1, span_steps, bucket_shift
-        )
+        ub = lower_bound(hi1, lo1)
         ub = jnp.where(wrapped, jnp.int32(N), ub)
         cnt = jnp.where(q_valid, ub - pos, 0)
         # run-offset window [run_offset, run_offset + max_run)

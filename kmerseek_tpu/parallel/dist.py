@@ -217,6 +217,136 @@ def sharded_inverted_search(mesh: Mesh, inv, q_hi, q_lo, q_valid):
     return fn(g4, q_hi, q_lo, q_valid)
 
 
+def sharded_sparse_search(
+    mesh: Mesh,
+    inv,
+    q_hi,
+    q_lo,
+    q_valid,
+    capacity: int | None = None,
+    expand_e: int | None = None,
+):
+    """Hash-range-sharded SPARSE hit-list search: million-target indexes
+    across chips without a dense (Q, T) matrix anywhere.
+
+    Same position-sharded posting layout as ``sharded_inverted_search``
+    (contiguous slices of the packed (N, 4) array; sentinel pad rows
+    carry target id ``n_targets``), but every chip emits its own bounded
+    sparse (q, t, count, weight) hit list from its local slice via the
+    shared sort-segment kernel (``ops.sparse_search._sparse_hits_core``
+    in full-bisect mode — local slices have no bucket table). A (q, t)
+    pair whose shared hashes span several hash ranges surfaces on each
+    of those shards, so the per-shard lists merge ADDITIVELY on host
+    (``_merge_partial_hits`` — the same merge as run-offset tiling).
+
+    ``expand_e`` selects the compact exact-run-length expansion (see
+    the kernel docstring); the per-shard match totals come back in the
+    stats row, and an undersized budget triggers one exact retry.
+    Returns a host ``SparseHits`` (t ascending per q, true pair count).
+    """
+    import functools as _ft
+
+    from ..ops.sparse_search import (
+        SparseHits,
+        _merge_partial_hits,
+        _pow2,
+        _sparse_hits_core,
+    )
+
+    n = mesh.devices.size
+    Q, S = np.asarray(q_hi).shape
+    pad = (-len(inv.g_hi)) % n
+    g4 = inv.packed()
+    if pad:
+        pad_row = np.array(
+            [[0xFFFFFFFF, 0xFFFFFFFF, inv.n_targets, 0]], np.uint32
+        )
+        g4 = np.vstack([g4, np.repeat(pad_row, pad, axis=0)])
+    local_n = g4.shape[0] // n
+    max_run = min(inv.max_run, local_n) or 1
+    if capacity is None:
+        capacity = min(Q * S * max_run, 2 * 1024 * 1024)
+    capacity = max(((capacity + 127) // 128) * 128, 128)
+
+    sh = NamedSharding(mesh, P(AXIS, None))
+    rep = NamedSharding(mesh, P(None, None))
+    g4 = jax.device_put(g4, sh)
+    q_hi = jax.device_put(np.asarray(q_hi), rep)
+    q_lo = jax.device_put(np.asarray(q_lo), rep)
+    q_valid = jax.device_put(np.asarray(q_valid), rep)
+
+    @_ft.partial(jax.jit, static_argnames=("cap", "e"))
+    def run(g4, q_hi, q_lo, q_valid, cap: int, e):
+        def local(g4, q_hi, q_lo, q_valid):
+            q_out, t_out, counts, weights, stats = _sparse_hits_core(
+                g4,
+                None,
+                q_hi,
+                q_lo,
+                q_valid,
+                n_targets=inv.n_targets,
+                max_run=max_run,
+                capacity=cap,
+                span_steps=max(int(local_n).bit_length(), 1),
+                bucket_shift=0,
+                run_offset=0,
+                expand_e=e,
+            )
+            return (
+                q_out[None],
+                t_out[None],
+                counts[None],
+                weights[None],
+                stats[None],
+            )
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None, None)),
+            out_specs=(P(AXIS, None),) * 5,
+        )(g4, q_hi, q_lo, q_valid)
+
+    if expand_e is not None:
+        expand_e = max(128, min(_pow2(expand_e), _pow2(Q * S * max_run)))
+    q_out, t_out, counts, weights, stats = run(
+        g4, q_hi, q_lo, q_valid, cap=int(capacity), e=expand_e
+    )
+    nm = np.asarray(stats)  # (n, 2)
+    if expand_e is not None and int(nm[:, 1].max()) > expand_e:
+        expand_e = max(
+            128, min(_pow2(int(nm[:, 1].max())), _pow2(Q * S * max_run))
+        )
+        q_out, t_out, counts, weights, stats = run(
+            g4, q_hi, q_lo, q_valid, cap=int(capacity), e=expand_e
+        )
+        nm = np.asarray(stats)
+    if int(nm[:, 0].max()) > capacity:
+        # rare per-shard overflow: one exact-capacity retry
+        cap2 = ((int(nm[:, 0].max()) + 127) // 128) * 128
+        q_out, t_out, counts, weights, stats = run(
+            g4, q_hi, q_lo, q_valid, cap=cap2, e=expand_e
+        )
+        nm = np.asarray(stats)
+        capacity = cap2
+    qa, ta, ca, wa = (np.asarray(v) for v in (q_out, t_out, counts, weights))
+    parts = []
+    for c in range(n):
+        h = min(int(nm[c, 0]), int(capacity))
+        qs, ts, cs, ws = qa[c, :h], ta[c, :h], ca[c, :h], wa[c, :h]
+        # drop sentinel-pad-row hits (t == n_targets): a pad row matches
+        # only a query hash of u64::MAX, impossible under scaled > 1 but
+        # filtered for exactness
+        real = ts < inv.n_targets
+        parts.append(
+            SparseHits(
+                qs[real], ts[real], cs[real], ws[real].astype(np.int64),
+                int(real.sum()),
+            )
+        )
+    return _merge_partial_hits(parts, None)
+
+
 def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = None):
     """Sharded version of the manysearch device stage.
 

@@ -135,3 +135,75 @@ def test_sharded_inverted_search_matches(indexes):
     assert np.array_equal(np.asarray(got_w), np.asarray(ref_w))
     # and the reference values are the golden manysearch counts
     assert int(np.asarray(got_c).sum()) == 9  # 2+1+1+2+3 golden intersections
+
+
+def _rand_index(n_rows, row_len, pool, seed):
+    r = np.random.default_rng(seed)
+    ids = np.sort(r.integers(0, len(pool), size=(n_rows, row_len)), axis=1)
+    keep = np.ones_like(ids, bool)
+    keep[:, 1:] = ids[:, 1:] != ids[:, :-1]
+    counts = keep.sum(axis=1)
+    mins = pool[ids[keep]]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    ab = (r.integers(1, 5, size=len(mins))).astype(np.int64)
+    names = [f"p{i}" for i in range(n_rows)]
+    return ProteomeIndex(IndexConfig(16, 5, "hp"), names, mins, ab, offsets)
+
+
+@pytest.mark.parametrize("expand_e", [None, 4096])
+def test_sharded_sparse_search_matches(expand_e):
+    """Hash-range-sharded sparse hit lists merge to the exact unsharded
+    result — both expansion strategies, on the 8-device mesh."""
+    from kmerseek_tpu.ops.sparse_search import sparse_search
+    from kmerseek_tpu.parallel.dist import sharded_sparse_search
+
+    rng = np.random.default_rng(7)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=400, replace=False).astype(np.uint64)
+    )
+    target = _rand_index(60, 20, pool, 70)
+    query = _rand_index(25, 15, pool, 71)
+    import jax.numpy as jnp
+
+    q_hi, q_lo, _ab, _c = query.dense_device_arrays()
+    S = q_hi.shape[1]
+    q_valid = jnp.asarray(np.arange(S)[None, :] < query.counts[:, None])
+
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    mesh = make_mesh()
+    got = sharded_sparse_search(
+        mesh, target.inverted, q_hi, q_lo, q_valid, expand_e=expand_e
+    )
+    assert got.n_hits == full.n_hits
+    assert np.array_equal(got.q, full.q)
+    assert np.array_equal(got.t, full.t)
+    assert np.array_equal(got.count, full.count)
+    assert np.array_equal(got.weight, full.weight)
+
+
+def test_sharded_sparse_search_undersized_budget_retries():
+    """A too-small compact budget must be detected via the per-shard
+    match totals and retried exactly."""
+    from kmerseek_tpu.ops.sparse_search import sparse_search
+    from kmerseek_tpu.parallel.dist import sharded_sparse_search
+
+    rng = np.random.default_rng(8)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=150, replace=False).astype(np.uint64)
+    )
+    target = _rand_index(50, 20, pool, 80)
+    query = _rand_index(20, 15, pool, 81)
+    import jax.numpy as jnp
+
+    q_hi, q_lo, _ab, _c = query.dense_device_arrays()
+    S = q_hi.shape[1]
+    q_valid = jnp.asarray(np.arange(S)[None, :] < query.counts[:, None])
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    mesh = make_mesh()
+    got = sharded_sparse_search(
+        mesh, target.inverted, q_hi, q_lo, q_valid, expand_e=128
+    )
+    assert got.n_hits == full.n_hits
+    assert np.array_equal(got.q, full.q)
+    assert np.array_equal(got.count, full.count)
+    assert np.array_equal(got.weight, full.weight)
