@@ -44,19 +44,26 @@ def test_sharded_stats_match_single_device(indexes):
 
 
 def test_sharded_search_rows_identical(indexes, monkeypatch):
-    """manysearch rows via the sharded device stage equal the golden path."""
+    """manysearch rows with the SHARDED sparse engine as the validation
+    device stage equal the golden single-device path — the full CLI
+    search flow runs against the 8-device mesh."""
     import kmerseek_tpu.core.search as search_mod
+    import kmerseek_tpu.ops.sparse_search as sp
+    from kmerseek_tpu.parallel.dist import sharded_sparse_search
 
     query, target = indexes
     ref_rows = search_mod.manysearch(query, target)
 
     mesh = make_mesh()
+    calls = []
 
-    def sharded(q, t):
-        return distributed_manysearch_stats(q, t, mesh)
+    def sharded(index, q_hi, q_lo, q_valid, capacity=None, q_chunk=None, **kw):
+        calls.append(1)
+        return sharded_sparse_search(mesh, index.inverted, q_hi, q_lo, q_valid)
 
-    monkeypatch.setattr(search_mod, "_device_pair_stats", sharded)
+    monkeypatch.setattr(sp, "sparse_search", sharded)
     got_rows = search_mod.manysearch(query, target)
+    assert calls, "sharded validation engine was not invoked"
     assert got_rows == ref_rows
 
 

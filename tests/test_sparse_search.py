@@ -82,10 +82,11 @@ def test_sparse_overflow_reports_true_count():
     assert np.array_equal(small.count, full.count[:128])
 
 
-def test_manysearch_sparse_validation_path(monkeypatch):
-    """Forcing the sparse validation engine (as used beyond the dense
-    Q*T limit) must leave manysearch rows identical."""
-    import kmerseek_tpu.core.search as search_mod
+def test_manysearch_sparse_validation_runs(monkeypatch):
+    """manysearch's device cross-check runs the sparse hit-list engine
+    (the production validation engine) and rows are unchanged when the
+    check is skipped via KMERSEEK_SEARCH_VALIDATE=0."""
+    import kmerseek_tpu.ops.sparse_search as sp
     from kmerseek_tpu.core.search import manysearch
 
     rng = np.random.default_rng(11)
@@ -94,11 +95,20 @@ def test_manysearch_sparse_validation_path(monkeypatch):
     )
     target = _mk_index(50, 20, pool, 6)
     query = _mk_index(10, 15, pool, 7)
-    dense_rows = manysearch(query, target)
-    monkeypatch.setattr(search_mod, "_DENSE_VALIDATE_LIMIT", 1)
-    sparse_rows = manysearch(query, target)
-    assert sparse_rows == dense_rows
-    assert len(sparse_rows) > 0
+    calls = []
+    real = sp.sparse_search
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sp, "sparse_search", spy)
+    validated_rows = manysearch(query, target)
+    assert calls, "sparse validation engine was not invoked"
+    monkeypatch.setenv("KMERSEEK_SEARCH_VALIDATE", "0")
+    unvalidated_rows = manysearch(query, target)
+    assert unvalidated_rows == validated_rows
+    assert len(validated_rows) > 0
 
 
 def test_million_target_index_no_dense_matrix():
