@@ -368,6 +368,21 @@ def _run_and_print_progressive(backend: str, search_deadline: float | None = Non
             print(json.dumps(result), flush=True)
         except Exception as e:
             print(f"search measurement failed: {e!r}", file=sys.stderr)
+    # END-TO-END production manysearch (host join + stats + sparse
+    # device cross-check + column assembly) — the number a CLI user
+    # experiences per query block
+    if search_deadline is None or time.monotonic() + 180 < search_deadline:
+        try:
+            from bench_search import measure_manysearch_production
+
+            s = measure_manysearch_production(backend)
+            result["detail"]["manysearch_end_to_end_queries_per_second"] = s[
+                "value"
+            ]
+            result["detail"]["manysearch_end_to_end"] = s["detail"]
+            print(json.dumps(result), flush=True)
+        except Exception as e:
+            print(f"manysearch e2e measurement failed: {e!r}", file=sys.stderr)
     # BASELINE.json names "queries/s on UniProt-scale index": the sparse
     # hit-list engine vs a 524k-target / ~50M-posting synthetic corpus.
     # Heaviest step (host build ~40 s + compile), so it runs last and

@@ -120,6 +120,80 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     }
 
 
+def measure_manysearch_production(
+    backend_label: str,
+    targets: int = TARGETS,
+    queries: int = QUERIES,
+    sketch: int = 100,
+    iters: int = 3,
+) -> dict:
+    """END-TO-END production ``manysearch_columns`` throughput.
+
+    Unlike ``measure_search`` (device pair-stat engine alone), this
+    times the full production path a CLI search runs per query block:
+    host searchsorted join + segmented statistics + the sparse-engine
+    device cross-check + all 22 column arrays. Queries draw half their
+    hashes from the target pool so the output is realistically dense
+    (~100 hit rows per query at the defaults)."""
+    import jax
+
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+    from kmerseek_tpu.core.search import manysearch_columns
+
+    rng = np.random.default_rng(5)
+
+    def mk_index(n, seed, pool=None):
+        r = np.random.default_rng(seed)
+        if pool is None:
+            vals = np.sort(
+                r.integers(0, 2**62, size=(n, sketch), dtype=np.uint64), axis=1
+            )
+        else:
+            vals = np.sort(
+                pool[r.integers(0, len(pool), size=(n, sketch))], axis=1
+            )
+        keep = np.ones_like(vals, bool)
+        keep[:, 1:] = vals[:, 1:] != vals[:, :-1]
+        counts = keep.sum(axis=1).astype(np.int64)
+        mins = vals[keep]
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        ab = r.integers(1, 4, size=len(mins)).astype(np.int64)
+        return ProteomeIndex(
+            IndexConfig(16, 5, "hp"),
+            [f"s{seed}_{i}" for i in range(n)],
+            mins,
+            ab,
+            offsets,
+        )
+
+    target = mk_index(targets, 1)
+    query = mk_index(queries, 2, pool=target.mins)
+
+    t0 = time.perf_counter()
+    cols = manysearch_columns(query, target)  # compile + warm
+    compile_s = time.perf_counter() - t0
+    best = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        cols = manysearch_columns(query, target)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+
+    return {
+        "metric": "manysearch_end_to_end_queries_per_second",
+        "value": queries / best,
+        "unit": "queries/s",
+        "detail": {
+            "targets": targets,
+            "queries": queries,
+            "hit_rows": len(cols["query_name"]),
+            "rows_per_s": len(cols["query_name"]) / best,
+            "compile_s": compile_s,
+            "backend": f"{jax.default_backend()} ({backend_label})",
+        },
+    }
+
+
 def measure_search_sparse(
     backend_label: str,
     targets: int = 524288,
