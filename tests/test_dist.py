@@ -214,3 +214,44 @@ def test_sharded_sparse_search_undersized_budget_retries():
     assert np.array_equal(got.q, full.q)
     assert np.array_equal(got.count, full.count)
     assert np.array_equal(got.weight, full.weight)
+
+
+def test_sharded_sparse_pad_rows_filtered():
+    """Sentinel pad rows (hash u64::MAX, tid = n_targets) sit at the end
+    of the padded posting array; a genuine query hash of u64::MAX must
+    match the real postings but never surface a pad-row hit."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.sparse_search import sparse_search
+    from kmerseek_tpu.parallel.dist import sharded_sparse_search
+
+    M = 0xFFFFFFFFFFFFFFFF
+    # 3 targets, 7 postings (not divisible by 8 → pad rows added)
+    rows = [
+        np.array([5, 1000, M], dtype=np.uint64),
+        np.array([7, M], dtype=np.uint64),
+        np.array([9, M], dtype=np.uint64),
+    ]
+    flat = np.concatenate(rows)
+    offsets = np.array([0, 3, 5, 7], np.int64)
+    ab = np.arange(1, len(flat) + 1, dtype=np.int64)
+    target = ProteomeIndex(
+        IndexConfig(16, 1, "hp"), ["a", "b", "c"], flat, ab, offsets
+    )
+    q64 = np.array([[5, M]], dtype=np.uint64)
+    q_hi = jnp.asarray((q64 >> np.uint64(32)).astype(np.uint32))
+    q_lo = jnp.asarray((q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    q_valid = jnp.ones((1, 2), bool)
+
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    mesh = make_mesh()
+    for e in (None, 1024):
+        got = sharded_sparse_search(
+            mesh, target.inverted, q_hi, q_lo, q_valid, expand_e=e
+        )
+        assert got.t.max(initial=-1) < len(target)  # no pad-row hits
+        assert got.n_hits == full.n_hits
+        assert np.array_equal(got.q, full.q)
+        assert np.array_equal(got.t, full.t)
+        assert np.array_equal(got.count, full.count)
+        assert np.array_equal(got.weight, full.weight)

@@ -413,3 +413,45 @@ def test_compact_undersized_budget_retries_exact(monkeypatch):
     assert np.array_equal(got.count, truth.count)
     assert np.array_equal(got.weight, truth.weight)
     assert sp._EXPAND_CACHE[key] >= es[1]  # budget learned
+
+
+def test_compact_u64_max_hash_run():
+    """A posting hash of u64::MAX exercises the compact expansion's
+    wrapped upper bound (hash+1 overflows to 0 → ub forced to N); the
+    run must still be counted exactly, in both expansion modes."""
+    import jax.numpy as jnp
+
+    M = 0xFFFFFFFFFFFFFFFF
+    mins = np.array([5, 1000, M, 7, M, 9, M], dtype=np.uint64)
+    # three targets; targets 0, 1, 2 all contain u64::MAX
+    mins = np.sort(mins[:3]), np.sort(mins[3:5]), np.sort(mins[5:])
+    flat = np.concatenate(mins)
+    offsets = np.array([0, 3, 5, 7], np.int64)
+    ab = np.arange(1, len(flat) + 1, dtype=np.int64)
+    target = ProteomeIndex(
+        IndexConfig(16, 1, "hp"), ["a", "b", "c"], flat, ab, offsets
+    )
+    q64 = np.array([[5, M]], dtype=np.uint64)
+    q_hi = jnp.asarray((q64 >> np.uint64(32)).astype(np.uint32))
+    q_lo = jnp.asarray((q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    q_valid = jnp.ones((1, 2), bool)
+
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    for compact in (True, False):
+        old = sp.COMPACT_EXPANSION
+        sp.COMPACT_EXPANSION = compact
+        try:
+            hits = sparse_search(target, q_hi, q_lo, q_valid)
+        finally:
+            sp.COMPACT_EXPANSION = old
+        got = {
+            (int(q), int(t)): (int(c), int(w))
+            for q, t, c, w in zip(hits.q, hits.t, hits.count, hits.weight)
+        }
+        # target a shares {5, MAX}; targets b and c share {MAX}
+        assert got == {
+            (0, 0): (2, 1 + 3),
+            (0, 1): (1, 5),
+            (0, 2): (1, 7),
+        }, got
