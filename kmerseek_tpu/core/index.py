@@ -37,7 +37,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..ops import u64
-from ..ops.sketch import merge_sketches_np, sketch_capacity
+from ..ops.sketch_np import merge_sketches_np
 from .alphabet import validate_resolve_batch
 from .fasta import iter_record_batches
 from .signature import Signature
@@ -138,7 +138,11 @@ def sketch_batch_signatures(
     sentinel-sort sketch → host run-length dedup."""
     import jax.numpy as jnp
 
-    from ..ops.sketch import finalize_sorted_np, sorted_window_hashes
+    from ..ops.sketch import (
+        finalize_sorted_np,
+        sketch_capacity,
+        sorted_window_hashes,
+    )
     from .fasta import pack_fixed_grid
 
     k, scaled, moltype = config.ksize, config.scaled, config.moltype
@@ -171,6 +175,57 @@ def sketch_batch_signatures(
                 filename=filename,
             )
     return batch_sigs
+
+
+def sketch_batch_signatures_native(
+    names: List[str],
+    resolved: Sequence[bytes],
+    config: "IndexConfig",
+    *,
+    filename: str = "",
+) -> Optional[List[Signature]]:
+    """Native C++ CPU sketch of one batch — bit-equal to the device
+    stage (same encode LUT + murmur64 + scaled filter; oracle-tested in
+    tests/test_native.py), with no jax import and no XLA compile.
+
+    The small-corpus CLI fast path: for tiny inputs (the reference's
+    CLI bench corpora are 1-25 sequences) the device path's fixed costs
+    (jax import ~2.4 s + per-shape compiles) dwarf the sketch itself.
+    Returns None when libkseek is unavailable so callers fall back to
+    the device path."""
+    from .. import native
+
+    if not native.available():
+        return None
+    from ..ops.encoding import encode_bytes_np, max_hash_for_scaled
+
+    k, scaled, moltype = config.ksize, config.scaled, config.moltype
+    mh = max_hash_for_scaled(scaled)
+    sigs: List[Signature] = []
+    for name, seq in zip(names, resolved):
+        enc = encode_bytes_np(
+            np.frombuffer(seq, np.uint8), moltype
+        ).tobytes()
+        h, a = native.sketch_cpu(enc, k, mh)
+        sigs.append(
+            Signature(
+                name=name,
+                mins=h,
+                abundances=a.astype(np.int64),
+                ksize=k,
+                scaled=scaled,
+                moltype=moltype,
+                filename=filename,
+            )
+        )
+    return sigs
+
+
+# below this many windows in a batch the "auto" engine sketches on the
+# native CPU path: the device sketch runs ~1G kmers/s but its fixed
+# costs (jax import, per-shape compiles — minutes over a remote tunnel)
+# only amortize at corpus scale
+_NATIVE_BUILD_MAX_KMERS = 1_000_000
 
 
 class ProteomeIndex:
@@ -236,15 +291,23 @@ class ProteomeIndex:
         store_raw_sequences: bool = False,
         progress_interval: Optional[int] = None,
         ambiguity_policy: str = "first",
+        engine: str = "auto",
     ) -> "ProteomeIndex":
         """Sketch every record of ``fasta`` on the accelerator.
 
         Device stage: fused hash + sentinel-sort (scatter-free,
         ``ops.sketch.sorted_window_hashes``); host stage: run-length
         dedup into Signature records. The Pallas kernel is used
-        automatically on TPU backends."""
-        import jax
+        automatically on TPU backends.
 
+        ``engine``: ``"device"`` forces the accelerator path,
+        ``"native"`` forces the C++ CPU sketcher (bit-equal, raises if
+        libkseek is unavailable), ``"auto"`` (default) picks per batch —
+        tiny batches (< ``_NATIVE_BUILD_MAX_KMERS`` windows) sketch
+        natively so small CLI runs never pay the jax import + compile
+        fixed costs."""
+        if engine not in ("auto", "device", "native"):
+            raise ValueError(f"unknown sketch engine: {engine!r}")
         from ..utils.config import get_default_performance_config
 
         config = config or IndexConfig()
@@ -255,7 +318,7 @@ class ProteomeIndex:
             # progress logging only when metrics are opted into — the CLI
             # stderr contract stays byte-stable by default
             progress_interval = perf.progress_interval if perf.enable_metrics else 0
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = None  # resolved lazily on the first device batch
         signatures: List[Signature] = []
         sequences: List[bytes] = [] if store_raw_sequences else None
         n_done = 0
@@ -268,15 +331,34 @@ class ProteomeIndex:
             resolved = validate_resolve_batch(
                 [r.seq for r in records], names, policy=ambiguity_policy
             )
-            signatures.extend(
-                sketch_batch_signatures(
+            batch_sigs = None
+            if engine == "native" or (
+                engine == "auto"
+                and sum(
+                    max(len(s) - config.ksize + 1, 0) for s in resolved
+                )
+                < _NATIVE_BUILD_MAX_KMERS
+            ):
+                batch_sigs = sketch_batch_signatures_native(
+                    names, resolved, config, filename=os.path.abspath(fasta)
+                )
+                if batch_sigs is None and engine == "native":
+                    raise RuntimeError(
+                        "engine='native' requested but libkseek is unavailable"
+                    )
+            if batch_sigs is None:
+                if use_pallas is None:
+                    import jax
+
+                    use_pallas = jax.default_backend() not in ("cpu",)
+                batch_sigs = sketch_batch_signatures(
                     names,
                     resolved,
                     config,
                     use_pallas=use_pallas,
                     filename=os.path.abspath(fasta),
                 )
-            )
+            signatures.extend(batch_sigs)
             if store_raw_sequences:
                 sequences.extend(resolved)
             n_done += len(records)

@@ -393,17 +393,6 @@ def sketch_capacity(max_len: int, k: int, scaled: int) -> int:
     return min(w, est)
 
 
-def merge_sketches_np(mins_list, abund_list):
-    """Union ("combined minhash") of many sketches on host.
-
-    Mirrors the reference's combined KmerMinHash across all proteins
-    (index.rs:823-827): hash set union with summed abundances.
-    """
-    if not mins_list:
-        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
-    allm = np.concatenate([np.asarray(m, np.uint64) for m in mins_list])
-    alla = np.concatenate([np.asarray(a, np.int64) for a in abund_list])
-    uniq, inv = np.unique(allm, return_inverse=True)
-    sums = np.zeros(len(uniq), np.int64)
-    np.add.at(sums, inv, alla)
-    return uniq, sums
+# re-export: the implementation lives in the jax-free ops.sketch_np so
+# numpy-only paths can use it without paying this module's jax import
+from .sketch_np import merge_sketches_np  # noqa: E402,F401

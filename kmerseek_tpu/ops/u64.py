@@ -18,7 +18,25 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
-import jax.numpy as jnp
+
+class _LazyJnp:
+    """``jax.numpy`` placeholder, resolved on first attribute access.
+
+    Importing this module must not import jax: the pure-numpy helpers
+    (``split_np``/``join_np``) are used by jax-free paths — notably the
+    CLI's native small-corpus sketcher, whose whole point is skipping
+    the ~2.4 s jax import + compiles for tiny inputs. The first device
+    helper touched swaps the real module into the globals, so every
+    later reference pays zero indirection."""
+
+    def __getattr__(self, name):
+        import jax.numpy as real
+
+        globals()["jnp"] = real
+        return getattr(real, name)
+
+
+jnp = _LazyJnp()
 
 U32_MASK = 0xFFFFFFFF
 
@@ -30,8 +48,10 @@ class U64(NamedTuple):
     lo: jnp.ndarray
 
 
-def u64_const(value: int, dtype=jnp.uint32) -> U64:
+def u64_const(value: int, dtype=None) -> U64:
     """Broadcastable scalar constant."""
+    if dtype is None:
+        dtype = jnp.uint32
     value &= (1 << 64) - 1
     return U64(
         jnp.asarray((value >> 32) & U32_MASK, dtype=dtype),

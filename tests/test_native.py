@@ -143,3 +143,38 @@ def test_build_inverted_uses_native_sort(monkeypatch):
     assert np.array_equal(got.ab, ref.ab)
     assert got.max_run == ref.max_run
     assert np.array_equal(got.bucket_starts, ref.bucket_starts)
+
+
+def test_build_engine_native_bit_equal(bcl2_first25):
+    """engine='native' (C++ CPU sketcher, no jax compile) must produce
+    an index bit-equal to the device path; 'auto' picks native for tiny
+    corpora and must match too."""
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+
+    cfg = IndexConfig(16, 5, "hp")
+    dev = ProteomeIndex.build(bcl2_first25, cfg, engine="device")
+    nat = ProteomeIndex.build(bcl2_first25, cfg, engine="native")
+    auto = ProteomeIndex.build(bcl2_first25, cfg)
+    assert nat.is_equivalent_to(dev)
+    assert auto.is_equivalent_to(dev)
+    assert np.array_equal(nat.mins, dev.mins)
+    assert np.array_equal(nat.abundances, dev.abundances)
+    assert nat.mins.dtype == dev.mins.dtype
+    assert nat.abundances.dtype == dev.abundances.dtype
+
+
+def test_build_engine_native_unavailable_raises(bcl2_first25, monkeypatch):
+    """engine='native' must fail loudly when libkseek is missing, and
+    'auto' must silently fall back to the device path."""
+    import kmerseek_tpu.native as native_mod
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    cfg = IndexConfig(16, 5, "hp")
+    with pytest.raises(RuntimeError, match="libkseek"):
+        ProteomeIndex.build(bcl2_first25, cfg, engine="native")
+    auto = ProteomeIndex.build(bcl2_first25, cfg)  # falls back to device
+    dev = ProteomeIndex.build(bcl2_first25, cfg, engine="device")
+    assert auto.is_equivalent_to(dev)
+    with pytest.raises(ValueError, match="unknown sketch engine"):
+        ProteomeIndex.build(bcl2_first25, cfg, engine="gpu")
