@@ -31,18 +31,33 @@ def device_healthy(deadline_s: int = 120) -> bool:
 
 def enable_compilation_cache() -> None:
     """Persistent on-disk XLA compilation cache (amortizes the tunnel's
-    minutes-long remote compiles across CLI invocations)."""
-    try:
-        import jax
+    minutes-long remote compiles across CLI invocations).
 
+    Configured via env vars when jax is not imported yet — jax reads
+    them at import — so CLI runs that stay on the native sketch fast
+    path never pay the ~2.4 s jax import just to set cache config.
+    When jax IS already loaded (e.g. the axon sitecustomize pre-imports
+    it), the config is applied directly."""
+    try:
         cache_dir = os.environ.get(
             "KMERSEEK_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "kmerseek_jax"),
         )
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if "jax" in sys.modules:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        else:
+            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+            os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
+            )
+            os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5"
+            )
     except Exception:
         pass  # cache is an optimization; never fail over it
 
