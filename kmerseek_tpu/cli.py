@@ -39,6 +39,13 @@ def cli():
 @click.option("--scaled", type=int, default=5)
 @click.option("--extract-kmers", is_flag=True, default=False)
 @click.option("--profile", default=None, help="Write a jax.profiler trace to this directory")
+@click.option(
+    "--engine",
+    type=click.Choice(["auto", "device", "native"]),
+    default="auto",
+    help="Sketch engine: 'device' (accelerator), 'native' (C++ CPU, "
+    "bit-equal), 'auto' picks natively for tiny batches",
+)
 @click.option("--debug", is_flag=True, help="Enable debug logging")
 @click.option(
     "--force",
@@ -46,7 +53,7 @@ def cli():
     help="Force creation of signature, kmer parquet, and index even if "
     "they're already there",
 )
-def index(fasta, moltype, ksize, scaled, extract_kmers, profile, debug, force):
+def index(fasta, moltype, ksize, scaled, extract_kmers, profile, engine, debug, force):
     """Index a proteome FASTA (reference index.py:77-118 contract)."""
     setup_logging(debug)
     from .utils.device import ensure_usable_backend
@@ -63,6 +70,7 @@ def index(fasta, moltype, ksize, scaled, extract_kmers, profile, debug, force):
         scaled=scaled,
         force=force,
         extract_kmers=extract_kmers,
+        engine=engine,
     )
     if extract_kmers:
         logger.info("K-mer extraction will be performed during indexing.")

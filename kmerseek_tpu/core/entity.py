@@ -68,11 +68,13 @@ class KmerseekEntity:
         scaled: int = 5,
         force: bool = False,
         extract_kmers: bool = False,
+        engine: str = "auto",
     ):
         self.fasta = fasta
         self.config = IndexConfig(ksize=ksize, scaled=scaled, moltype=moltype)
         self.force = force
         self.extract_kmers = extract_kmers
+        self.engine = engine
         self._index: Optional[ProteomeIndex] = None
         self._sig: Optional[str] = None
         self._kmers_pq: Optional[str] = None
@@ -96,6 +98,7 @@ class KmerseekEntity:
                     self.fasta,
                     self.config,
                     store_raw_sequences=self.extract_kmers,
+                    engine=self.engine,
                 )
         return self._index
 
@@ -160,9 +163,24 @@ class KmerseekQuery(KmerseekEntity):
 class KmerseekIndex(KmerseekEntity):
     """Index-side entity; persists the columnar index next to the sig."""
 
-    def __init__(self, fasta, moltype="hp", ksize=24, scaled=5, force=False, extract_kmers=False):
+    def __init__(
+        self,
+        fasta,
+        moltype="hp",
+        ksize=24,
+        scaled=5,
+        force=False,
+        extract_kmers=False,
+        engine="auto",
+    ):
         super().__init__(
-            fasta, moltype, ksize, scaled, force=force, extract_kmers=extract_kmers
+            fasta,
+            moltype,
+            ksize,
+            scaled,
+            force=force,
+            extract_kmers=extract_kmers,
+            engine=engine,
         )
 
     @property

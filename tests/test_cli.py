@@ -235,3 +235,27 @@ def test_annotate_domains_requires_extract_kmers(workdir):
     )
     assert result.returncode != 0
     assert "requires --extract-kmers" in result.stderr + result.stdout
+
+
+def test_index_cli_engine_flag(tmp_path, bcl2_first25):
+    """--engine native and --engine device produce identical artifacts."""
+    import shutil
+
+    from kmerseek_tpu.core.index import ProteomeIndex
+
+    dirs = {}
+    for eng in ("native", "device"):
+        d = tmp_path / eng
+        d.mkdir()
+        fasta = d / "bcl2.fasta.gz"
+        shutil.copy(bcl2_first25, fasta)
+        r = _run(
+            ["index", str(fasta), "--ksize", "16", "--engine", eng],
+            cwd=d,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        (ksx,) = [p for p in d.iterdir() if p.name.endswith(".ksx")]
+        dirs[eng] = ksx
+    a = ProteomeIndex.load(str(dirs["native"]))
+    b = ProteomeIndex.load(str(dirs["device"]))
+    assert a.is_equivalent_to(b)
