@@ -19,8 +19,10 @@ from .core.search import (
     manysearch,
     write_search_csv,
 )
-from .core.stitch import stitch_results, stitched_to_csv
 from .utils.logging import logger, setup_logging
+
+# .core.stitch (pandas-backed) is imported inside the search command:
+# pandas costs ~0.8 s at startup and `index` never needs it
 
 
 @click.group()
@@ -183,6 +185,8 @@ def search(
         write_search_csv(rows, MANYSEARCH_COLUMNS, sourmash_search_csv)
 
     if extract_kmers:
+        from .core.stitch import stitch_results, stitched_to_csv
+
         stitched, report = stitch_results(
             rows,
             query.kmers_dataframe,

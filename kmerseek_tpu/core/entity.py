@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import pandas as pd
 
 from ..utils.logging import logger
 from .index import IndexConfig, ProteomeIndex
@@ -149,7 +148,10 @@ class KmerseekEntity:
         return self._kmers_pq
 
     @property
-    def kmers_dataframe(self) -> Optional[pd.DataFrame]:
+    def kmers_dataframe(self) -> "Optional[pd.DataFrame]":
+        # pandas is imported lazily: it costs ~0.8 s at CLI start and
+        # only this accessor needs it
+        import pandas as pd  # noqa: F401
         pq_path = self.kmers_pq
         if pq_path is None:
             return None
