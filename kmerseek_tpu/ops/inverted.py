@@ -191,14 +191,18 @@ def _stable_argsort_u64(mins: np.ndarray) -> np.ndarray:
 def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndarray) -> InvertedIndex:
     """Build from a ProteomeIndex's CSR arrays (host, numpy).
 
-    Tunes the process allocator first (``utils.hostmem``): the build's
-    corpus-sized temporaries otherwise repay the VM's ~100 MB/s
-    first-touch page-fault cost per allocation — measured 295 s → 75 s
-    at 50M postings. The retained arena is ~2x the index the caller
-    keeps anyway."""
-    from ..utils.hostmem import tune_host_allocator
+    Tunes the process allocator and pre-faults the build's temporary
+    working set first (``utils.hostmem``): the corpus-sized
+    temporaries otherwise repay the VM's single-threaded first-touch
+    page-fault cost allocation by allocation — measured 295 s → 75 s
+    at 50M postings from arena retention alone, and the parallel
+    prefault covers the remaining cold-start fault serialization
+    (~64 B of temporaries per posting: order/g/tid/ab copies, the
+    split words, and the packed upload layout)."""
+    from ..utils.hostmem import prefault_arena, tune_host_allocator
 
     tune_host_allocator()
+    prefault_arena(min(len(mins) * 64, 8 << 30))
     T = len(offsets) - 1
     counts = np.diff(offsets)
     tid = np.repeat(np.arange(T, dtype=np.int32), counts)

@@ -29,6 +29,64 @@ _M_TOP_PAD = -2
 _M_MMAP_THRESHOLD = -3
 
 _tuned = False
+_prefaulted = 0
+
+
+def prefault_arena(n_bytes: int, threads: int | None = None) -> bool:
+    """Fault ``n_bytes`` of heap pages with parallel threads, then hand
+    the buffer back to the (retained) arena.
+
+    First-touch page faults on this VM run ~8 MB/s/thread but scale
+    with threads (measured: 800 MB faulted serially in 103 s, in 14.6 s
+    with 4 threads — ``fill`` releases the GIL). Corpus-scale numpy
+    pipelines otherwise pay that serial fault cost inline, allocation
+    by allocation; pre-faulting the working-set once in parallel and
+    letting ``tune_host_allocator``'s retained arena recycle the warm
+    pages cuts the inverted-index build's cold-start dominance.
+
+    Keeps a high-water mark: repeated calls only fault the delta. The
+    faulted pages stay in the process RSS until exit — callers size
+    ``n_bytes`` to their actual temporary working set."""
+    global _prefaulted
+    if n_bytes <= _prefaulted or not tune_host_allocator():
+        return False
+    import os
+    import threading
+    import time
+
+    import numpy as np
+
+    # The VM's fault rate swings more than 10x minute to minute (noisy
+    # neighbor phases): probe it on 32 MB first and skip the prefault
+    # when faults are currently cheap — the parallel touch only pays
+    # for itself in the slow phases.
+    probe = np.empty(32 << 20, np.uint8)
+    t0 = time.perf_counter()
+    probe.fill(1)
+    rate = (32 << 20) / max(time.perf_counter() - t0, 1e-9)
+    del probe
+    if rate > 400e6:  # > 400 MB/s single-thread: faulting inline is fine
+        return False
+
+    want = int(n_bytes)
+    try:
+        buf = np.empty(want, np.uint8)
+    except MemoryError:
+        return False
+    n = max(min((os.cpu_count() or 1), 16), 1)
+    step = (want + n - 1) // n
+
+    def touch(lo: int) -> None:
+        buf[lo : lo + step].fill(1)
+
+    ts = [threading.Thread(target=touch, args=(i * step,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    del buf  # back to the retained arena, pages stay faulted
+    _prefaulted = max(_prefaulted, want)
+    return True
 
 
 def tune_host_allocator() -> bool:

@@ -241,3 +241,18 @@ def test_tune_host_allocator_idempotent():
     assert tune_host_allocator() in (True, False)
     # second call must be a no-op returning the cached result
     assert tune_host_allocator() == tune_host_allocator()
+
+
+def test_prefault_arena_adaptive():
+    """prefault_arena is a no-op when the requested bytes are already
+    covered, and never raises; the high-water mark only grows."""
+    import kmerseek_tpu.utils.hostmem as hm
+
+    before = hm._prefaulted
+    r1 = hm.prefault_arena(1 << 20)
+    assert isinstance(r1, bool)
+    assert hm._prefaulted >= before
+    # covered request: immediate no-op regardless of fault-rate phase
+    mark = hm._prefaulted
+    assert hm.prefault_arena(min(mark, 1)) is False
+    assert hm._prefaulted == mark
