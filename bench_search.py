@@ -225,6 +225,12 @@ def measure_search_sparse(
 
     from kmerseek_tpu.ops.inverted import build_inverted_np, device_postings
     from kmerseek_tpu.ops.sparse_search import sparse_search
+    from kmerseek_tpu.utils.hostmem import prefault_arena
+
+    # the synthetic corpus prep + inverted build allocate ~6 GB of
+    # temporaries; fault them with parallel threads up front when the
+    # VM is in a slow-fault phase (adaptive probe inside)
+    prefault_arena(min(targets * sketch * 12, 6 << 30))
 
     rng = np.random.default_rng(1)
     pool = np.unique(
