@@ -61,7 +61,11 @@ def index(fasta, moltype, ksize, scaled, extract_kmers, profile, engine, debug, 
     from .utils.device import ensure_usable_backend
     from .utils.metrics import device_profile
 
-    ensure_usable_backend()
+    if engine != "native":
+        # the probe exists to protect the DEVICE path from a wedged
+        # accelerator tunnel; a forced-native run never touches jax,
+        # so don't spend the (up to 120 s) probe on it
+        ensure_usable_backend()
 
     profiler = device_profile(profile)
     profiler.__enter__()

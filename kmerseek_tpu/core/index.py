@@ -332,8 +332,16 @@ class ProteomeIndex:
                 [r.seq for r in records], names, policy=ambiguity_policy
             )
             batch_sigs = None
+            # 'auto' fast-paths natively ONLY when the whole corpus is
+            # one under-threshold batch (first batch AND shorter than
+            # batch_size ⇒ the file has no more records). A per-batch
+            # test would route EVERY batch of a corpus-scale build to
+            # the serial CPU sketcher — ~1000 typical proteins is only
+            # ~330k windows, always under the threshold.
             if engine == "native" or (
                 engine == "auto"
+                and n_done == 0
+                and len(records) < batch_size
                 and sum(
                     max(len(s) - config.ksize + 1, 0) for s in resolved
                 )

@@ -198,11 +198,16 @@ def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndar
     at 50M postings from arena retention alone, and the parallel
     prefault covers the remaining cold-start fault serialization
     (~64 B of temporaries per posting: order/g/tid/ab copies, the
-    split words, and the packed upload layout)."""
-    from ..utils.hostmem import prefault_arena, tune_host_allocator
+    split words, and the packed upload layout). Only corpus-scale
+    builds (>= _NATIVE_SORT_MIN postings) opt into the tuning: it
+    retains the peak arena RSS process-wide, which a service indexing
+    small per-request corpora should not inherit — and at that scale
+    the caller necessarily holds a comparably large index anyway."""
+    if len(mins) >= _NATIVE_SORT_MIN:
+        from ..utils.hostmem import prefault_arena, tune_host_allocator
 
-    tune_host_allocator()
-    prefault_arena(min(len(mins) * 64, 8 << 30))
+        tune_host_allocator()
+        prefault_arena(min(len(mins) * 64, 8 << 30))
     T = len(offsets) - 1
     counts = np.diff(offsets)
     tid = np.repeat(np.arange(T, dtype=np.int32), counts)

@@ -303,11 +303,13 @@ def inverted_sparse_hits_chunks(
 # the posting runs are
 _RUN_TILE = 2048
 
-# learned compact-expansion budgets: (id(g_hi), Q, S) → pow2 slot count.
-# Seeded at 4·Q·S (≈ mean run 4 over half-hit probes), then updated to
-# 2× the observed match total M — the kernel reports exact M, so an
-# undersized E is always detected and retried, never silently wrong.
-_EXPAND_CACHE: "OrderedDict[tuple, int]" = OrderedDict()
+# learned compact-expansion budgets: (id(g_hi), Q, S) → (g_hi, pow2
+# slot count). Seeded at 4·Q·S (≈ mean run 4 over half-hit probes),
+# then updated to 2× the observed match total M — the kernel reports
+# exact M, so an undersized E is always detected and retried, never
+# silently wrong. Entries pin the host array (like the device-postings
+# cache) so a recycled id() can never alias another index's budget.
+_EXPAND_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _EXPAND_CACHE_SLOTS = 16
 # compact expansion on by default; None falls back to the rectangular
 # (max_run, Q, S) expansion (kept for A/B tests and tiny blocks)
@@ -322,18 +324,17 @@ def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
     """Static E for the compact expansion (None → rectangular path)."""
     if not COMPACT_EXPANSION:
         return None
-    key = (id(inv.g_hi), Q, S)
-    e = _EXPAND_CACHE.get(key)
-    if e is None:
-        e = _pow2(4 * Q * S)
+    ent = _EXPAND_CACHE.get((id(inv.g_hi), Q, S))
+    e = ent[1] if ent is not None and ent[0] is inv.g_hi else _pow2(4 * Q * S)
     # never above the rectangular worst case, never trivial
     return max(128, min(e, _pow2(Q * S * max_run)))
 
 
 def _note_expand(inv: InvertedIndex, Q: int, S: int, m_seen: int) -> None:
     key = (id(inv.g_hi), Q, S)
-    e = max(_EXPAND_CACHE.get(key, 0), _pow2(2 * max(m_seen, 64)))
-    _EXPAND_CACHE[key] = e
+    ent = _EXPAND_CACHE.get(key)
+    prev = ent[1] if ent is not None and ent[0] is inv.g_hi else 0
+    _EXPAND_CACHE[key] = (inv.g_hi, max(prev, _pow2(2 * max(m_seen, 64))))
     _EXPAND_CACHE.move_to_end(key)
     while len(_EXPAND_CACHE) > _EXPAND_CACHE_SLOTS:
         _EXPAND_CACHE.popitem(last=False)

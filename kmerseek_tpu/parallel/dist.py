@@ -23,6 +23,7 @@ multi-host slice (``jax.distributed.initialize`` + the same mesh).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import NamedTuple
 
 import jax
@@ -217,6 +218,78 @@ def sharded_inverted_search(mesh: Mesh, inv, q_hi, q_lo, q_valid):
     return fn(g4, q_hi, q_lo, q_valid)
 
 
+# (index, mesh) → (sharded device posting upload, local slice length,
+# jitted shard_map program). Mirrors ops.inverted._DEVICE_CACHE: the
+# production pattern is many query blocks against one loaded index, so
+# re-uploading the ~0.8 GB packed array and re-creating the jit closure
+# (= a fresh trace/compile) per call would dominate. Entries hold
+# strong references to the host array and mesh so the ids stay valid.
+_SHARDED_SPARSE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_SHARDED_SPARSE_SLOTS = 2
+
+
+def _sharded_sparse_program(mesh: Mesh, inv):
+    import functools as _ft
+
+    from ..ops.sparse_search import _sparse_hits_core
+
+    key = (id(inv.g_hi), id(mesh))
+    ent = _SHARDED_SPARSE_CACHE.get(key)
+    if ent is not None and ent[0] is inv.g_hi and ent[1] is mesh:
+        _SHARDED_SPARSE_CACHE.move_to_end(key)
+        return ent[2]
+    n = mesh.devices.size
+    pad = (-len(inv.g_hi)) % n
+    g4 = inv.packed()
+    if pad:
+        pad_row = np.array(
+            [[0xFFFFFFFF, 0xFFFFFFFF, inv.n_targets, 0]], np.uint32
+        )
+        g4 = np.vstack([g4, np.repeat(pad_row, pad, axis=0)])
+    local_n = g4.shape[0] // n
+    max_run = min(inv.max_run, local_n) or 1
+    g4 = jax.device_put(g4, NamedSharding(mesh, P(AXIS, None)))
+    n_targets = inv.n_targets
+
+    @_ft.partial(jax.jit, static_argnames=("cap", "e"))
+    def run(g4, q_hi, q_lo, q_valid, cap: int, e):
+        def local(g4, q_hi, q_lo, q_valid):
+            q_out, t_out, counts, weights, stats = _sparse_hits_core(
+                g4,
+                None,
+                q_hi,
+                q_lo,
+                q_valid,
+                n_targets=n_targets,
+                max_run=max_run,
+                capacity=cap,
+                span_steps=max(int(local_n).bit_length(), 1),
+                bucket_shift=0,
+                run_offset=0,
+                expand_e=e,
+            )
+            return (
+                q_out[None],
+                t_out[None],
+                counts[None],
+                weights[None],
+                stats[None],
+            )
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None, None)),
+            out_specs=(P(AXIS, None),) * 5,
+        )(g4, q_hi, q_lo, q_valid)
+
+    entry = (g4, local_n, run)
+    _SHARDED_SPARSE_CACHE[key] = (inv.g_hi, mesh, entry)
+    while len(_SHARDED_SPARSE_CACHE) > _SHARDED_SPARSE_SLOTS:
+        _SHARDED_SPARSE_CACHE.popitem(last=False)
+    return entry
+
+
 def sharded_sparse_search(
     mesh: Mesh,
     inv,
@@ -244,68 +317,23 @@ def sharded_sparse_search(
     stats row, and an undersized budget triggers one exact retry.
     Returns a host ``SparseHits`` (t ascending per q, true pair count).
     """
-    import functools as _ft
-
-    from ..ops.sparse_search import (
-        SparseHits,
-        _merge_partial_hits,
-        _pow2,
-        _sparse_hits_core,
-    )
+    from ..ops.sparse_search import SparseHits, _merge_partial_hits, _pow2
 
     n = mesh.devices.size
     Q, S = np.asarray(q_hi).shape
-    pad = (-len(inv.g_hi)) % n
-    g4 = inv.packed()
-    if pad:
-        pad_row = np.array(
-            [[0xFFFFFFFF, 0xFFFFFFFF, inv.n_targets, 0]], np.uint32
-        )
-        g4 = np.vstack([g4, np.repeat(pad_row, pad, axis=0)])
-    local_n = g4.shape[0] // n
+    if len(inv.g_hi) == 0:
+        z = np.zeros(0, np.int32)
+        return SparseHits(z, z, z, z.astype(np.int64), 0)
+    g4, local_n, run = _sharded_sparse_program(mesh, inv)
     max_run = min(inv.max_run, local_n) or 1
     if capacity is None:
         capacity = min(Q * S * max_run, 2 * 1024 * 1024)
     capacity = max(((capacity + 127) // 128) * 128, 128)
 
-    sh = NamedSharding(mesh, P(AXIS, None))
     rep = NamedSharding(mesh, P(None, None))
-    g4 = jax.device_put(g4, sh)
     q_hi = jax.device_put(np.asarray(q_hi), rep)
     q_lo = jax.device_put(np.asarray(q_lo), rep)
     q_valid = jax.device_put(np.asarray(q_valid), rep)
-
-    @_ft.partial(jax.jit, static_argnames=("cap", "e"))
-    def run(g4, q_hi, q_lo, q_valid, cap: int, e):
-        def local(g4, q_hi, q_lo, q_valid):
-            q_out, t_out, counts, weights, stats = _sparse_hits_core(
-                g4,
-                None,
-                q_hi,
-                q_lo,
-                q_valid,
-                n_targets=inv.n_targets,
-                max_run=max_run,
-                capacity=cap,
-                span_steps=max(int(local_n).bit_length(), 1),
-                bucket_shift=0,
-                run_offset=0,
-                expand_e=e,
-            )
-            return (
-                q_out[None],
-                t_out[None],
-                counts[None],
-                weights[None],
-                stats[None],
-            )
-
-        return shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None, None)),
-            out_specs=(P(AXIS, None),) * 5,
-        )(g4, q_hi, q_lo, q_valid)
 
     if expand_e is not None:
         expand_e = max(128, min(_pow2(expand_e), _pow2(Q * S * max_run)))

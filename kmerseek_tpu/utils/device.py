@@ -51,7 +51,13 @@ def enable_compilation_cache() -> None:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         else:
-            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+            if "KMERSEEK_JAX_CACHE" in os.environ:
+                # an explicit kmerseek cache dir must win over any
+                # pre-existing JAX_COMPILATION_CACHE_DIR from the
+                # ambient profile (jax.config.update used to enforce it)
+                os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+            else:
+                os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
             os.environ.setdefault(
                 "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
             )

@@ -255,3 +255,52 @@ def test_sharded_sparse_pad_rows_filtered():
         assert np.array_equal(got.t, full.t)
         assert np.array_equal(got.count, full.count)
         assert np.array_equal(got.weight, full.weight)
+
+
+def test_sharded_sparse_empty_index():
+    """Zero-posting index: the sharded engine must return an empty hit
+    list instead of gathering into a 0-row posting array."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.inverted import build_inverted_np
+    from kmerseek_tpu.parallel.dist import sharded_sparse_search
+
+    inv = build_inverted_np(
+        np.zeros(0, np.uint64), np.zeros(0, np.int64), np.array([0, 0, 0], np.int64)
+    )
+    mesh = make_mesh()
+    got = sharded_sparse_search(
+        mesh,
+        inv,
+        jnp.zeros((2, 4), jnp.uint32),
+        jnp.zeros((2, 4), jnp.uint32),
+        jnp.ones((2, 4), bool),
+    )
+    assert got.n_hits == 0 and len(got.q) == 0
+
+
+def test_sharded_sparse_program_cached():
+    """Repeated searches against one index reuse the sharded upload and
+    the jitted program (no re-device_put / re-trace per call)."""
+    import jax.numpy as jnp
+
+    import kmerseek_tpu.parallel.dist as dist_mod
+    from kmerseek_tpu.parallel.dist import sharded_sparse_search
+
+    rng = np.random.default_rng(5)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=200, replace=False).astype(np.uint64)
+    )
+    target = _rand_index(40, 15, pool, 90)
+    query = _rand_index(10, 10, pool, 91)
+    q_hi, q_lo, _ab, _c = query.dense_device_arrays()
+    S = q_hi.shape[1]
+    q_valid = jnp.asarray(np.arange(S)[None, :] < query.counts[:, None])
+    mesh = make_mesh()
+    a = sharded_sparse_search(mesh, target.inverted, q_hi, q_lo, q_valid)
+    key = (id(target.inverted.g_hi), id(mesh))
+    assert key in dist_mod._SHARDED_SPARSE_CACHE
+    entry_before = dist_mod._SHARDED_SPARSE_CACHE[key][2]
+    b = sharded_sparse_search(mesh, target.inverted, q_hi, q_lo, q_valid)
+    assert dist_mod._SHARDED_SPARSE_CACHE[key][2] is entry_before
+    assert a.n_hits == b.n_hits and np.array_equal(a.q, b.q)

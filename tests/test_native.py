@@ -178,3 +178,28 @@ def test_build_engine_native_unavailable_raises(bcl2_first25, monkeypatch):
     assert auto.is_equivalent_to(dev)
     with pytest.raises(ValueError, match="unknown sketch engine"):
         ProteomeIndex.build(bcl2_first25, cfg, engine="gpu")
+
+
+def test_auto_engine_routes_corpora_to_device(bcl2_first25, monkeypatch):
+    """'auto' must fast-path natively ONLY when the whole corpus is one
+    under-threshold batch — a multi-batch build (every batch under the
+    window threshold individually) must take the device path, not crawl
+    through the serial CPU sketcher batch by batch."""
+    import kmerseek_tpu.core.index as index_mod
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+
+    calls = []
+    real = index_mod.sketch_batch_signatures_native
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(index_mod, "sketch_batch_signatures_native", spy)
+    cfg = IndexConfig(16, 5, "hp")
+    # batch_size 8 < 25 records → multi-batch corpus → device engine
+    ProteomeIndex.build(bcl2_first25, cfg, batch_size=8)
+    assert not calls, "multi-batch auto build must not use the native path"
+    # single under-threshold batch → native fast path
+    ProteomeIndex.build(bcl2_first25, cfg)
+    assert calls, "single-batch tiny build should use the native path"

@@ -397,7 +397,7 @@ def test_compact_undersized_budget_retries_exact(monkeypatch):
     # poison the cache with a tiny budget for this (index, Q, S)
     Q, S = np.asarray(q_hi).shape
     key = (id(target.inverted.g_hi), Q, S)
-    monkeypatch.setitem(sp._EXPAND_CACHE, key, 128)
+    monkeypatch.setitem(sp._EXPAND_CACHE, key, (target.inverted.g_hi, 128))
     es = []
     real = sp.inverted_sparse_hits
 
@@ -412,7 +412,7 @@ def test_compact_undersized_budget_retries_exact(monkeypatch):
     assert np.array_equal(got.q, truth.q)
     assert np.array_equal(got.count, truth.count)
     assert np.array_equal(got.weight, truth.weight)
-    assert sp._EXPAND_CACHE[key] >= es[1]  # budget learned
+    assert sp._EXPAND_CACHE[key][1] >= es[1]  # budget learned
 
 
 def test_compact_u64_max_hash_run():
