@@ -455,3 +455,46 @@ def test_compact_u64_max_hash_run():
             (0, 1): (1, 5),
             (0, 2): (1, 7),
         }, got
+
+
+def test_repeat_search_uses_hp_hint_bit_equal():
+    """A second identical search consumes the optimistic (hinted-length)
+    fetch path; results must be bit-equal and the hint recorded."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(61)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(60, 20, pool, 62)
+    query = _mk_index(20, 15, pool, 63)
+    q_hi, q_lo, q_valid = _query_block(query)
+    first = sparse_search(target, q_hi, q_lo, q_valid)
+    Q, S = np.asarray(q_hi).shape
+    hinted = [
+        k for k in sp._HP_CACHE if k[0] == id(target.inverted.g_hi)
+    ]
+    assert hinted, "hit-length hint was not recorded"
+    second = sparse_search(target, q_hi, q_lo, q_valid)
+    assert second.n_hits == first.n_hits
+    assert np.array_equal(second.q, first.q)
+    assert np.array_equal(second.t, first.t)
+    assert np.array_equal(second.count, first.count)
+    assert np.array_equal(second.weight, first.weight)
+    # chunked path records/uses its own hint too
+    c1 = sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
+    c2 = sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
+    assert np.array_equal(c1.q, c2.q) and np.array_equal(c1.count, c2.count)
+    # poisoned oversized hint: results still exact (just extra bytes)
+    for k in list(sp._HP_CACHE):
+        if k[0] == id(target.inverted.g_hi):
+            sp._HP_CACHE[k] = (target.inverted.g_hi, 1 << 20)
+    third = sparse_search(target, q_hi, q_lo, q_valid)
+    assert np.array_equal(third.q, first.q)
+    # poisoned undersized hint: refetch path, still exact
+    for k in list(sp._HP_CACHE):
+        if k[0] == id(target.inverted.g_hi):
+            sp._HP_CACHE[k] = (target.inverted.g_hi, 1)
+    fourth = sparse_search(target, q_hi, q_lo, q_valid)
+    assert np.array_equal(fourth.q, first.q)
+    assert np.array_equal(fourth.weight, first.weight)
