@@ -131,6 +131,12 @@ def index(fasta, moltype, ksize, scaled, extract_kmers, profile, engine, debug, 
         "output parity"
     ),
 )
+@click.option(
+    "--engine",
+    type=click.Choice(["auto", "device", "native"]),
+    default="auto",
+    help="Sketch engine for query/target (see `index --engine`)",
+)
 @click.option("--debug", is_flag=True, help="Enable debug logging")
 @click.option(
     "--force",
@@ -149,6 +155,7 @@ def search(
     sourmash_search_csv,
     annotate_domains,
     stitch_per_query,
+    engine,
     debug,
     force,
 ):
@@ -170,6 +177,7 @@ def search(
         scaled=scaled,
         force=force,
         extract_kmers=extract_kmers,
+        engine=engine,
     )
     _ = query.sig
     _ = query.kmers_pq
@@ -180,6 +188,7 @@ def search(
         scaled=scaled,
         force=force,
         extract_kmers=extract_kmers,
+        engine=engine,
     )
     _ = target.sig
 
