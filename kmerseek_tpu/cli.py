@@ -46,7 +46,7 @@ def cli():
     type=click.Choice(["auto", "device", "native"]),
     default="auto",
     help="Sketch engine: 'device' (accelerator), 'native' (C++ CPU, "
-    "bit-equal), 'auto' picks natively for tiny batches",
+    "bit-equal), 'auto' sketches single-batch tiny corpora natively",
 )
 @click.option("--debug", is_flag=True, help="Enable debug logging")
 @click.option(
@@ -61,10 +61,12 @@ def index(fasta, moltype, ksize, scaled, extract_kmers, profile, engine, debug, 
     from .utils.device import ensure_usable_backend
     from .utils.metrics import device_profile
 
-    if engine != "native":
-        # the probe exists to protect the DEVICE path from a wedged
-        # accelerator tunnel; a forced-native run never touches jax,
-        # so don't spend the (up to 120 s) probe on it
+    if engine != "native" or extract_kmers or profile:
+        # the probe exists to protect jax-touching paths from a wedged
+        # accelerator tunnel; a plain forced-native index never imports
+        # jax, so don't spend the (up to 120 s) probe on it — but
+        # --extract-kmers (CPU-jax hash pass) and --profile
+        # (jax.profiler) do initialize jax even under --engine native
         ensure_usable_backend()
 
     profiler = device_profile(profile)

@@ -302,10 +302,11 @@ class ProteomeIndex:
 
         ``engine``: ``"device"`` forces the accelerator path,
         ``"native"`` forces the C++ CPU sketcher (bit-equal, raises if
-        libkseek is unavailable), ``"auto"`` (default) picks per batch —
-        tiny batches (< ``_NATIVE_BUILD_MAX_KMERS`` windows) sketch
-        natively so small CLI runs never pay the jax import + compile
-        fixed costs."""
+        libkseek is unavailable), ``"auto"`` (default) decides per
+        CORPUS: only when the whole file is a single batch under
+        ``_NATIVE_BUILD_MAX_KMERS`` windows does it sketch natively
+        (so small CLI runs never pay the jax import + compile fixed
+        costs); any multi-batch corpus goes to the device engine."""
         if engine not in ("auto", "device", "native"):
             raise ValueError(f"unknown sketch engine: {engine!r}")
         from ..utils.config import get_default_performance_config
@@ -325,23 +326,32 @@ class ProteomeIndex:
         from .fasta import prefetch
 
         # background-thread ingest: FASTA read/decompress of batch i+1
-        # overlaps the device sketch of batch i
-        for records in prefetch(iter_record_batches(fasta, batch_size)):
+        # overlaps the device sketch of batch i. One batch of lookahead
+        # tells 'auto' whether the corpus is single-batch (the prefetch
+        # thread has usually read it already).
+        import itertools
+
+        batches = prefetch(iter_record_batches(fasta, batch_size))
+        first = next(batches, None)
+        second = next(batches, None) if first is not None else None
+        single_batch = first is not None and second is None
+        stream = itertools.chain(
+            (b for b in (first, second) if b is not None), batches
+        )
+        for records in stream:
             names = [r.name for r in records]
             resolved = validate_resolve_batch(
                 [r.seq for r in records], names, policy=ambiguity_policy
             )
             batch_sigs = None
             # 'auto' fast-paths natively ONLY when the whole corpus is
-            # one under-threshold batch (first batch AND shorter than
-            # batch_size ⇒ the file has no more records). A per-batch
-            # test would route EVERY batch of a corpus-scale build to
-            # the serial CPU sketcher — ~1000 typical proteins is only
-            # ~330k windows, always under the threshold.
+            # one under-threshold batch. A per-batch test would route
+            # EVERY batch of a corpus-scale build to the serial CPU
+            # sketcher — ~1000 typical proteins is only ~330k windows,
+            # always under the threshold.
             if engine == "native" or (
                 engine == "auto"
-                and n_done == 0
-                and len(records) < batch_size
+                and single_batch
                 and sum(
                     max(len(s) - config.ksize + 1, 0) for s in resolved
                 )

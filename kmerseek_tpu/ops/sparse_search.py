@@ -303,14 +303,15 @@ def inverted_sparse_hits_chunks(
 # the posting runs are
 _RUN_TILE = 2048
 
-# learned compact-expansion budgets: (id(g_hi), Q, S) → (g_hi, pow2
-# slot count). Seeded at 4·Q·S (≈ mean run 4 over half-hit probes),
-# then updated to 2× the observed match total M — the kernel reports
-# exact M, so an undersized E is always detected and retried, never
-# silently wrong. Entries pin the host array (like the device-postings
-# cache) so a recycled id() can never alias another index's budget.
+# learned compact-expansion budgets: (id(g_hi), Q, S) → (weakref to
+# g_hi, pow2 slot count). Seeded at 4·Q·S (≈ mean run 4 over half-hit
+# probes), then updated to 2× the observed match total M — the kernel
+# reports exact M, so an undersized E is always detected and retried,
+# never silently wrong. Entries hold a WEAK reference to the host
+# array: a live array's id() is unique (no aliasing), and a retired
+# index's corpus-scale array is not kept alive by a perf-hint cache.
 _EXPAND_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
-_EXPAND_CACHE_SLOTS = 16
+_EXPAND_CACHE_SLOTS = 64
 # compact expansion on by default; None falls back to the rectangular
 # (max_run, Q, S) expansion (kept for A/B tests and tiny blocks)
 COMPACT_EXPANSION = True
@@ -320,47 +321,64 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _cache_get(cache: OrderedDict, key: tuple, owner):
+    """Value if the entry's weakly-referenced owner is still ``owner``."""
+    ent = cache.get(key)
+    return ent[1] if ent is not None and ent[0]() is owner else None
+
+
+def _cache_put(cache: OrderedDict, slots: int, key: tuple, owner, value):
+    import weakref
+
+    cache[key] = (weakref.ref(owner), value)
+    cache.move_to_end(key)
+    while len(cache) > slots:
+        cache.popitem(last=False)
+
+
 def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
     """Static E for the compact expansion (None → rectangular path)."""
     if not COMPACT_EXPANSION:
         return None
-    ent = _EXPAND_CACHE.get((id(inv.g_hi), Q, S))
-    e = ent[1] if ent is not None and ent[0] is inv.g_hi else _pow2(4 * Q * S)
+    e = _cache_get(_EXPAND_CACHE, (id(inv.g_hi), Q, S), inv.g_hi)
+    if e is None:
+        e = _pow2(4 * Q * S)
     # never above the rectangular worst case, never trivial
     return max(128, min(e, _pow2(Q * S * max_run)))
 
 
 def _note_expand(inv: InvertedIndex, Q: int, S: int, m_seen: int) -> None:
     key = (id(inv.g_hi), Q, S)
-    ent = _EXPAND_CACHE.get(key)
-    prev = ent[1] if ent is not None and ent[0] is inv.g_hi else 0
-    _EXPAND_CACHE[key] = (inv.g_hi, max(prev, _pow2(2 * max(m_seen, 64))))
-    _EXPAND_CACHE.move_to_end(key)
-    while len(_EXPAND_CACHE) > _EXPAND_CACHE_SLOTS:
-        _EXPAND_CACHE.popitem(last=False)
+    prev = _cache_get(_EXPAND_CACHE, key, inv.g_hi) or 0
+    _cache_put(
+        _EXPAND_CACHE,
+        _EXPAND_CACHE_SLOTS,
+        key,
+        inv.g_hi,
+        max(prev, _pow2(2 * max(m_seen, 64))),
+    )
 
 
-# learned trimmed-fetch lengths: (id(g_hi), block shape) → (g_hi, hp).
-# Over the tunnel each host sync costs a full RTT; knowing last call's
-# pow2-quantized hit length lets the next call start the trimmed hit
-# fetches BEFORE syncing on the stats vector, overlapping the two
-# round-trips. A wrong hint is never wrong-results: too small → the
-# normal re-fetch path runs; too big → extra bytes only.
+# learned trimmed-fetch lengths: (id(g_hi), block shape) → (weakref to
+# g_hi, hp). Over the tunnel each host sync costs a full RTT; knowing
+# last call's pow2-quantized hit length lets the next call start the
+# trimmed hit fetches BEFORE syncing on the stats vector, overlapping
+# the two round-trips. A wrong hint is never wrong-results: too small
+# → the normal re-fetch path runs; too big → extra bytes only. Sized
+# so run-offset tiling (one shape key per tile, up to ~32 tiles at
+# _RUN_TILE over a 64k-deep posting run) doesn't thrash the LRU.
 _HP_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
-_HP_CACHE_SLOTS = 16
+_HP_CACHE_SLOTS = 64
 
 
 def _hp_hint(inv: InvertedIndex, shape: tuple):
-    ent = _HP_CACHE.get((id(inv.g_hi),) + shape)
-    return ent[1] if ent is not None and ent[0] is inv.g_hi else None
+    return _cache_get(_HP_CACHE, (id(inv.g_hi),) + shape, inv.g_hi)
 
 
 def _note_hp(inv: InvertedIndex, shape: tuple, hp: int) -> None:
-    key = (id(inv.g_hi),) + shape
-    _HP_CACHE[key] = (inv.g_hi, int(hp))
-    _HP_CACHE.move_to_end(key)
-    while len(_HP_CACHE) > _HP_CACHE_SLOTS:
-        _HP_CACHE.popitem(last=False)
+    _cache_put(
+        _HP_CACHE, _HP_CACHE_SLOTS, (id(inv.g_hi),) + shape, inv.g_hi, int(hp)
+    )
 
 
 def _start_async_fetch(views) -> None:

@@ -223,9 +223,27 @@ def sharded_inverted_search(mesh: Mesh, inv, q_hi, q_lo, q_valid):
 # production pattern is many query blocks against one loaded index, so
 # re-uploading the ~0.8 GB packed array and re-creating the jit closure
 # (= a fresh trace/compile) per call would dominate. Entries hold
-# strong references to the host array and mesh so the ids stay valid.
+# strong references to the host array and mesh so the ids stay valid;
+# services retiring an index should call clear_sharded_sparse_cache
+# (the sibling of ops.inverted.clear_device_postings) to release the
+# pinned HBM. NOTE: the cache is per (index, mesh) — reuse ONE Mesh
+# object across calls, or every call re-uploads the postings.
 _SHARDED_SPARSE_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _SHARDED_SPARSE_SLOTS = 2
+
+
+def clear_sharded_sparse_cache(inv=None) -> None:
+    """Release cached sharded posting uploads + compiled programs.
+
+    With ``inv`` given only that index's entries are dropped (any
+    mesh); with no argument the whole cache clears."""
+    if inv is None:
+        _SHARDED_SPARSE_CACHE.clear()
+        return
+    for key in [
+        k for k, v in _SHARDED_SPARSE_CACHE.items() if v[0] is inv.g_hi
+    ]:
+        _SHARDED_SPARSE_CACHE.pop(key, None)
 
 
 def _sharded_sparse_program(mesh: Mesh, inv):

@@ -30,7 +30,6 @@ _M_MMAP_THRESHOLD = -3
 
 _tuned = False
 _prefaulted = 0
-_probe_at = None  # (monotonic ts, fast: bool) — memoized fault-rate probe
 
 
 def prefault_arena(n_bytes: int, threads: int | None = None) -> bool:
@@ -60,21 +59,17 @@ def prefault_arena(n_bytes: int, threads: int | None = None) -> bool:
     # The VM's fault rate swings more than 10x minute to minute (noisy
     # neighbor phases): probe it on 32 MB first and skip the prefault
     # when faults are currently cheap — the parallel touch only pays
-    # for itself in the slow phases. The probe outcome is memoized for
-    # 60 s so back-to-back small builds don't re-pay the 32 MB fill.
-    global _probe_at
-    now = time.monotonic()
-    if _probe_at is not None and now - _probe_at[0] < 60.0:
-        fast = _probe_at[1]
-    else:
-        probe = np.empty(32 << 20, np.uint8)
-        t0 = time.perf_counter()
-        probe.fill(1)
-        rate = (32 << 20) / max(time.perf_counter() - t0, 1e-9)
-        del probe
-        fast = rate > 400e6  # > 400 MB/s 1-thread: inline faults are fine
-        _probe_at = (now, fast)
-    if fast:
+    # for itself in the slow phases. The probe runs fresh every call:
+    # only corpus-scale builds reach here (callers gate on size), the
+    # 32 MB fill costs at most a few seconds even in a slow phase, and
+    # a memoized 'fast' verdict carried into a slow phase would skip a
+    # prefault worth minutes.
+    probe = np.empty(32 << 20, np.uint8)
+    t0 = time.perf_counter()
+    probe.fill(1)
+    rate = (32 << 20) / max(time.perf_counter() - t0, 1e-9)
+    del probe
+    if rate > 400e6:  # > 400 MB/s 1-thread: inline faults are fine
         return False
 
     want = int(n_bytes)

@@ -396,8 +396,12 @@ def test_compact_undersized_budget_retries_exact(monkeypatch):
 
     # poison the cache with a tiny budget for this (index, Q, S)
     Q, S = np.asarray(q_hi).shape
+    import weakref
+
     key = (id(target.inverted.g_hi), Q, S)
-    monkeypatch.setitem(sp._EXPAND_CACHE, key, (target.inverted.g_hi, 128))
+    monkeypatch.setitem(
+        sp._EXPAND_CACHE, key, (weakref.ref(target.inverted.g_hi), 128)
+    )
     es = []
     real = sp.inverted_sparse_hits
 
@@ -486,15 +490,17 @@ def test_repeat_search_uses_hp_hint_bit_equal():
     c2 = sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
     assert np.array_equal(c1.q, c2.q) and np.array_equal(c1.count, c2.count)
     # poisoned oversized hint: results still exact (just extra bytes)
+    import weakref
+
     for k in list(sp._HP_CACHE):
         if k[0] == id(target.inverted.g_hi):
-            sp._HP_CACHE[k] = (target.inverted.g_hi, 1 << 20)
+            sp._HP_CACHE[k] = (weakref.ref(target.inverted.g_hi), 1 << 20)
     third = sparse_search(target, q_hi, q_lo, q_valid)
     assert np.array_equal(third.q, first.q)
     # poisoned undersized hint: refetch path, still exact
     for k in list(sp._HP_CACHE):
         if k[0] == id(target.inverted.g_hi):
-            sp._HP_CACHE[k] = (target.inverted.g_hi, 1)
+            sp._HP_CACHE[k] = (weakref.ref(target.inverted.g_hi), 1)
     fourth = sparse_search(target, q_hi, q_lo, q_valid)
     assert np.array_equal(fourth.q, first.q)
     assert np.array_equal(fourth.weight, first.weight)
