@@ -322,3 +322,55 @@ def test_sig_zip_reader_skips_dna_sketches(tmp_path):
     sigs = read_sig_zip(p)
     assert len(sigs) == 1
     assert sigs[0].moltype == "hp" and sigs[0].ksize == 16
+
+
+def test_build_search_property_fuzz(tmp_path):
+    """Property sweep: random corpora (edge lengths, ambiguity codes,
+    stops, mixed case, gzip) through build + self-search under random
+    (k, scaled, moltype, engine) — every non-empty sketch must
+    self-match with containment exactly 1.0."""
+    import gzip
+
+    from kmerseek_tpu.core.search import manysearch
+
+    rng = np.random.default_rng(7)
+    AA = "ACDEFGHIKLMNPQRSTVWY"
+
+    def rand_seq(n):
+        chars = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.92:
+                chars.append(AA[rng.integers(0, 20)])
+            elif r < 0.96:
+                chars.append("XUO"[rng.integers(0, 3)])
+            elif r < 0.99:
+                chars.append("BZJ"[rng.integers(0, 3)])
+            else:
+                chars.append("*")
+        s = "".join(chars)
+        return s.lower() if rng.random() < 0.3 else s
+
+    for trial in range(6):
+        k = int(rng.integers(3, 30))
+        scaled = int(rng.integers(1, 8))
+        moltype = ["protein", "dayhoff", "hp"][rng.integers(0, 3)]
+        engine = ["auto", "device", "native"][rng.integers(0, 3)]
+        n_rec = int(rng.integers(1, 20))
+        path = tmp_path / f"f{trial}.fasta"
+        with open(path, "w") as f:
+            for i in range(n_rec):
+                ln = int(rng.choice([1, k - 1, k, k + 1, 50, 300]))
+                f.write(f">rec{i} desc {i}\n{rand_seq(ln)}\n")
+        if rng.random() < 0.3:
+            gz = str(path) + ".gz"
+            with open(path, "rb") as src, gzip.open(gz, "wb") as dst:
+                dst.write(src.read())
+            path = gz
+        idx = ProteomeIndex.build(str(path), IndexConfig(k, scaled, moltype), engine=engine)
+        assert len(idx) == n_rec
+        rows = manysearch(idx, idx)
+        counts = np.diff(idx.offsets)
+        self_rows = [r for r in rows if r["query_name"] == r["match_name"]]
+        assert len(self_rows) == int((counts > 0).sum())
+        assert all(r["containment"] == 1.0 for r in self_rows)
