@@ -94,6 +94,16 @@ def _sparse_hits_core(
     """
     Q, S = q_hi.shape
     N = g4.shape[0]
+    if expand_e is not None and Q * S * max_run >= 2**31:
+        # the compact expansion's offsets come from an int32 cumsum; a
+        # probe block whose worst-case tuple count wraps int32 would
+        # pass the m > expand_e undersize check spuriously and silently
+        # drop matches. Callers bound Q (q_chunk) and max_run
+        # (run-offset tiling) well below this; fail loudly if not.
+        raise ValueError(
+            f"compact expansion overflow risk: Q*S*max_run = "
+            f"{Q * S * max_run} >= 2^31; lower q_chunk or run_chunk"
+        )
 
     def lower_bound(hi, lo):
         # bucket_starts=None → full-range bisect (the mode used per
@@ -507,6 +517,24 @@ def _sparse_chunks(
     cap = capacity
     if cap is None:
         cap = min(Qc * S * max_run, max(_CHUNK_CAP_FLOOR, _SCAN_SLOT_BUDGET // C))
+    elif C * cap > _SCAN_SLOT_BUDGET:
+        # an explicit capacity large enough to blow the stacked
+        # (C, capacity) scan buffers past the slot budget (the validate
+        # path passes the exact hit count, which grows with the corpus):
+        # fall back to sequential per-chunk calls — same results, device
+        # memory stays O(capacity) instead of O(C·capacity)
+        return [
+            _sparse_single(
+                inv,
+                jnp.asarray(q_hi3[c]),
+                jnp.asarray(q_lo3[c]),
+                jnp.asarray(q_valid3[c]),
+                capacity=cap,
+                max_run=max_run,
+                run_offset=run_offset,
+            )
+            for c in range(C)
+        ]
     cap = max(((cap + 127) // 128) * 128, 128)
     binv, g4, bucket_starts = device_postings(inv)
     expand_e = _expand_budget(inv, int(Qc), int(S), max_run)
@@ -678,6 +706,10 @@ def sparse_search(
             q_valid_np, ((0, pad_rows), (0, 0)), constant_values=False
         ).reshape(C_pad, q_chunk, -1)
         tile = run_chunk if run_chunk is not None else _RUN_TILE
+        # keep the worst-case tuple count int32-safe (see the guard in
+        # _sparse_hits_core) — narrower tiles are merged additively, so
+        # this only adds tiles, never changes results
+        tile = max(1, min(tile, (2**31 - 1) // max(q_chunk * S, 1)))
         if inv.max_run > tile:
             # one scan launch per run-offset tile (each covers every
             # chunk), then per-chunk additive merge + capacity trim —
@@ -706,6 +738,7 @@ def sparse_search(
             sum(p.n_hits for p in parts),
         )
     tile = run_chunk if run_chunk is not None else _RUN_TILE
+    tile = max(1, min(tile, (2**31 - 1) // max(Q * S, 1)))
     if inv.max_run > tile:
         # run-offset tiling: exact per-tile lists (auto capacity +
         # overflow retry), additive host merge

@@ -269,9 +269,11 @@ def _sharded_sparse_program(mesh: Mesh, inv):
     g4 = jax.device_put(g4, NamedSharding(mesh, P(AXIS, None)))
     n_targets = inv.n_targets
 
-    @_ft.partial(jax.jit, static_argnames=("cap", "e"))
-    def run(g4, q_hi, q_lo, q_valid, cap: int, e):
-        def local(g4, q_hi, q_lo, q_valid):
+    @_ft.partial(jax.jit, static_argnames=("cap", "e", "mr"))
+    def run(g4, q_hi, q_lo, q_valid, off, cap: int, e, mr: int):
+        # ``off`` is traced (one compiled program covers every run-offset
+        # tile); ``mr`` is the static tile width
+        def local(g4, q_hi, q_lo, q_valid, off):
             q_out, t_out, counts, weights, stats = _sparse_hits_core(
                 g4,
                 None,
@@ -279,11 +281,11 @@ def _sharded_sparse_program(mesh: Mesh, inv):
                 q_lo,
                 q_valid,
                 n_targets=n_targets,
-                max_run=max_run,
+                max_run=mr,
                 capacity=cap,
                 span_steps=max(int(local_n).bit_length(), 1),
                 bucket_shift=0,
-                run_offset=0,
+                run_offset=off,
                 expand_e=e,
             )
             return (
@@ -297,9 +299,15 @@ def _sharded_sparse_program(mesh: Mesh, inv):
         return shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None, None)),
+            in_specs=(
+                P(AXIS, None),
+                P(None, None),
+                P(None, None),
+                P(None, None),
+                P(),
+            ),
             out_specs=(P(AXIS, None),) * 5,
-        )(g4, q_hi, q_lo, q_valid)
+        )(g4, q_hi, q_lo, q_valid, off)
 
     entry = (g4, local_n, run)
     _SHARDED_SPARSE_CACHE[key] = (inv.g_hi, mesh, entry)
@@ -316,6 +324,7 @@ def sharded_sparse_search(
     q_valid,
     capacity: int | None = None,
     expand_e: int | None = None,
+    run_chunk: int | None = None,
 ):
     """Hash-range-sharded SPARSE hit-list search: million-target indexes
     across chips without a dense (Q, T) matrix anywhere.
@@ -334,8 +343,20 @@ def sharded_sparse_search(
     the kernel docstring); the per-shard match totals come back in the
     stats row, and an undersized budget triggers one exact retry.
     Returns a host ``SparseHits`` (t ascending per q, true pair count).
+
+    Long posting runs are probed in ``_RUN_TILE``-wide offset windows
+    (the window offset is a traced scalar — one compiled program covers
+    every tile) and the per-(shard, tile) partial lists merge
+    additively, exactly like the unsharded engine's run-offset tiling:
+    kernel memory stays O(Q·S·_RUN_TILE) per chip even when one hash
+    range holds a heavy-hitter hash present in most of the corpus.
     """
-    from ..ops.sparse_search import SparseHits, _merge_partial_hits, _pow2
+    from ..ops.sparse_search import (
+        _RUN_TILE,
+        SparseHits,
+        _merge_partial_hits,
+        _pow2,
+    )
 
     n = mesh.devices.size
     Q, S = np.asarray(q_hi).shape
@@ -344,8 +365,10 @@ def sharded_sparse_search(
         return SparseHits(z, z, z, z.astype(np.int64), 0)
     g4, local_n, run = _sharded_sparse_program(mesh, inv)
     max_run = min(inv.max_run, local_n) or 1
+    tile = min(max_run, run_chunk if run_chunk is not None else _RUN_TILE)
+    tile = max(1, min(tile, (2**31 - 1) // max(Q * S, 1)))
     if capacity is None:
-        capacity = min(Q * S * max_run, 2 * 1024 * 1024)
+        capacity = min(Q * S * tile, 2 * 1024 * 1024)
     capacity = max(((capacity + 127) // 128) * 128, 128)
 
     rep = NamedSharding(mesh, P(None, None))
@@ -354,42 +377,50 @@ def sharded_sparse_search(
     q_valid = jax.device_put(np.asarray(q_valid), rep)
 
     if expand_e is not None:
-        expand_e = max(128, min(_pow2(expand_e), _pow2(Q * S * max_run)))
-    q_out, t_out, counts, weights, stats = run(
-        g4, q_hi, q_lo, q_valid, cap=int(capacity), e=expand_e
-    )
-    nm = np.asarray(stats)  # (n, 2)
-    if expand_e is not None and int(nm[:, 1].max()) > expand_e:
-        expand_e = max(
-            128, min(_pow2(int(nm[:, 1].max())), _pow2(Q * S * max_run))
-        )
+        expand_e = max(128, min(_pow2(expand_e), _pow2(Q * S * tile)))
+
+    def run_tile(off: int, cap: int, e):
+        """One offset window across every shard, with the same
+        budget/capacity retries as the unsharded engine."""
         q_out, t_out, counts, weights, stats = run(
-            g4, q_hi, q_lo, q_valid, cap=int(capacity), e=expand_e
+            g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile
         )
-        nm = np.asarray(stats)
-    if int(nm[:, 0].max()) > capacity:
-        # rare per-shard overflow: one exact-capacity retry
-        cap2 = ((int(nm[:, 0].max()) + 127) // 128) * 128
-        q_out, t_out, counts, weights, stats = run(
-            g4, q_hi, q_lo, q_valid, cap=cap2, e=expand_e
-        )
-        nm = np.asarray(stats)
-        capacity = cap2
-    qa, ta, ca, wa = (np.asarray(v) for v in (q_out, t_out, counts, weights))
-    parts = []
-    for c in range(n):
-        h = min(int(nm[c, 0]), int(capacity))
-        qs, ts, cs, ws = qa[c, :h], ta[c, :h], ca[c, :h], wa[c, :h]
-        # drop sentinel-pad-row hits (t == n_targets): a pad row matches
-        # only a query hash of u64::MAX, impossible under scaled > 1 but
-        # filtered for exactness
-        real = ts < inv.n_targets
-        parts.append(
-            SparseHits(
-                qs[real], ts[real], cs[real], ws[real].astype(np.int64),
-                int(real.sum()),
+        nm = np.asarray(stats)  # (n, 2)
+        if e is not None and int(nm[:, 1].max()) > e:
+            e = max(128, min(_pow2(int(nm[:, 1].max())), _pow2(Q * S * tile)))
+            q_out, t_out, counts, weights, stats = run(
+                g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile
             )
+            nm = np.asarray(stats)
+        if int(nm[:, 0].max()) > cap:
+            # rare per-shard overflow: one exact-capacity retry
+            cap = ((int(nm[:, 0].max()) + 127) // 128) * 128
+            q_out, t_out, counts, weights, stats = run(
+                g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile
+            )
+            nm = np.asarray(stats)
+        qa, ta, ca, wa = (
+            np.asarray(v) for v in (q_out, t_out, counts, weights)
         )
+        parts = []
+        for c in range(n):
+            h = min(int(nm[c, 0]), cap)
+            qs, ts, cs, ws = qa[c, :h], ta[c, :h], ca[c, :h], wa[c, :h]
+            # drop sentinel-pad-row hits (t == n_targets): a pad row
+            # matches only a query hash of u64::MAX, impossible under
+            # scaled > 1 but filtered for exactness
+            real = ts < inv.n_targets
+            parts.append(
+                SparseHits(
+                    qs[real], ts[real], cs[real], ws[real].astype(np.int64),
+                    int(real.sum()),
+                )
+            )
+        return parts
+
+    parts = []
+    for off in range(0, max_run, tile):
+        parts.extend(run_tile(off, int(capacity), expand_e))
     return _merge_partial_hits(parts, None)
 
 

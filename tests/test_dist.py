@@ -304,3 +304,71 @@ def test_sharded_sparse_program_cached():
     b = sharded_sparse_search(mesh, target.inverted, q_hi, q_lo, q_valid)
     assert dist_mod._SHARDED_SPARSE_CACHE[key][2] is entry_before
     assert a.n_hits == b.n_hits and np.array_equal(a.q, b.q)
+
+
+def test_sharded_sparse_run_chunk_tiling():
+    """A heavy-hitter hash present in every target inflates max_run;
+    the sharded engine must tile run offsets (bounding per-chip kernel
+    memory to O(Q*S*run_chunk)) and merge the per-(shard, tile) partial
+    lists to the exact unsharded result — both expansion strategies."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.sparse_search import sparse_search
+    from kmerseek_tpu.parallel.dist import sharded_sparse_search
+
+    rng = np.random.default_rng(73)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    base = _rand_index(120, 10, pool, 74)
+    common = pool[1]
+    mins, ab = [], []
+    for i in range(len(base)):
+        row = base.mins[base.offsets[i]:base.offsets[i + 1]]
+        rab = base.abundances[base.offsets[i]:base.offsets[i + 1]]
+        if common not in row:
+            j = int(np.searchsorted(row, common))
+            row = np.insert(row, j, common)
+            rab = np.insert(rab, j, 3)
+        mins.append(row)
+        ab.append(rab)
+    counts = np.array([len(r) for r in mins])
+    target = ProteomeIndex(
+        base.config,
+        list(base.names),
+        np.concatenate(mins),
+        np.concatenate(ab),
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int64),
+    )
+    assert target.inverted.max_run >= 120
+
+    query = _rand_index(10, 8, pool, 75)
+    qm = query.mins.copy()
+    qm[query.offsets[0]] = common
+    qm[query.offsets[0]:query.offsets[1]] = np.sort(
+        qm[query.offsets[0]:query.offsets[1]]
+    )
+    query = ProteomeIndex(
+        query.config, list(query.names), qm, query.abundances, query.offsets
+    )
+    q_hi, q_lo, _ab, _c = query.dense_device_arrays()
+    S = q_hi.shape[1]
+    q_valid = jnp.asarray(np.arange(S)[None, :] < query.counts[:, None])
+
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    mesh = make_mesh()
+    for expand_e in (None, 2048):
+        got = sharded_sparse_search(
+            mesh,
+            target.inverted,
+            q_hi,
+            q_lo,
+            q_valid,
+            expand_e=expand_e,
+            run_chunk=8,
+        )
+        assert got.n_hits == full.n_hits
+        assert np.array_equal(got.q, full.q)
+        assert np.array_equal(got.t, full.t)
+        assert np.array_equal(got.count, full.count)
+        assert np.array_equal(got.weight, full.weight)

@@ -504,3 +504,29 @@ def test_repeat_search_uses_hp_hint_bit_equal():
     fourth = sparse_search(target, q_hi, q_lo, q_valid)
     assert np.array_equal(fourth.q, first.q)
     assert np.array_equal(fourth.weight, first.weight)
+
+
+def test_explicit_capacity_slot_budget_fallback(monkeypatch):
+    """An explicit per-chunk capacity large enough that the stacked
+    (C, capacity) scan buffers would blow the slot budget (the
+    _validate_with_device path passes the corpus' exact hit count) must
+    fall back to sequential per-chunk calls with identical results."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(61)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=200, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(50, 20, pool, 62)
+    query = _mk_index(32, 15, pool, 63)
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    full = sparse_search(target, q_hi, q_lo, q_valid)
+    cap = ((full.n_hits + 128 + 127) // 128) * 128
+    normal = sparse_search(
+        target, q_hi, q_lo, q_valid, capacity=cap, q_chunk=8
+    )
+    monkeypatch.setattr(sp, "_SCAN_SLOT_BUDGET", cap)  # 4 chunks * cap > budget
+    seq = sparse_search(target, q_hi, q_lo, q_valid, capacity=cap, q_chunk=8)
+    for a, b in zip(seq, normal):
+        assert np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
