@@ -37,6 +37,7 @@ import gc
 import io
 import math
 import sys
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -112,11 +113,57 @@ def _device_pair_stats(query: ProteomeIndex, target: ProteomeIndex):
     return np.asarray(counts), np.asarray(weights)
 
 
+class _DbHashStats:
+    """Per-index database hash statistics off the sorted posting array.
+
+    Run-length boundaries of the globally sorted postings give, for
+    each DISTINCT hash: its first posting index (``run_starts``), its
+    document frequency (``df`` — how many targets contain it), and its
+    summed abundance (``db_ab``, f64). Computed once per index and
+    cached (weak-keyed on the posting anchor, like the sparse engine's
+    learned budgets): the join and the multisearch probability scores
+    reuse it across every query block instead of re-deriving ~N-sized
+    temporaries per call."""
+
+    __slots__ = ("hashes", "run_starts", "df", "db_ab", "sum_db_ab")
+
+    def __init__(self, g: np.ndarray, ab: np.ndarray):
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = g[1:] != g[:-1]
+        self.run_starts = np.flatnonzero(first)
+        self.hashes = g[self.run_starts]
+        self.df = np.diff(np.append(self.run_starts, len(g)))
+        self.db_ab = np.add.reduceat(ab.astype(np.float64), self.run_starts)
+        self.sum_db_ab = float(self.db_ab.sum())
+
+
+_DB_STATS_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
+_DB_STATS_SLOTS = 4
+
+
+def _db_hash_stats(inv) -> _DbHashStats:
+    from ..ops.sparse_search import _cache_owner
+
+    owner = _cache_owner(inv)
+    ent = _DB_STATS_CACHE.get(id(owner))
+    if ent is not None and ent[0]() is owner:
+        _DB_STATS_CACHE.move_to_end(id(owner))
+        return ent[1]
+    stats = _DbHashStats(inv.g64(), inv.ab)
+    import weakref
+
+    _DB_STATS_CACHE[id(owner)] = (weakref.ref(owner), stats)
+    while len(_DB_STATS_CACHE) > _DB_STATS_SLOTS:
+        _DB_STATS_CACHE.popitem(last=False)
+    return stats
+
+
 class _JoinSegments:
     """Sparse (query, target) hit segments of the flat intersection join.
 
-    One ``searchsorted`` of every query hash into the target's globally
-    sorted posting array expands to (q_row, target, abundance) tuples —
+    One ``searchsorted`` of every query hash into the target's distinct
+    database hashes expands to (q_row, target, abundance) tuples —
     one per query-hash/target co-occurrence — which, lexsorted by
     (q_row, target, <inner>), form contiguous segments: exactly the hit
     pairs with ≥1 shared hash. All per-pair statistics then fall out of
@@ -126,10 +173,12 @@ class _JoinSegments:
 
     __slots__ = (
         "starts", "seg_n", "seg_q", "seg_t", "seg_id",
-        "pab", "qhash", "total",
+        "pab", "qhash", "qpos", "total",
     )
 
-    def __init__(self, starts, seg_n, seg_q, seg_t, seg_id, pab, qhash, total):
+    def __init__(
+        self, starts, seg_n, seg_q, seg_t, seg_id, pab, qhash, qpos, total
+    ):
         self.starts = starts
         self.seg_n = seg_n
         self.seg_q = seg_q
@@ -137,6 +186,7 @@ class _JoinSegments:
         self.seg_id = seg_id
         self.pab = pab
         self.qhash = qhash
+        self.qpos = qpos  # (len(query.mins),) distinct-hash index per query hash
         self.total = total
 
 
@@ -148,15 +198,22 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     (ascending hash value — reproduces the reference's per-hash
     summation order for multisearch probability scores)."""
     inv = target.inverted
-    g = inv.g64()
+    st = _db_hash_stats(inv)
     qm = query.mins
-    lo = np.searchsorted(g, qm, side="left")
-    hi = np.searchsorted(g, qm, side="right")
-    cnt = (hi - lo).astype(np.int64)
+    # ONE searchsorted into the distinct-hash table (the old two-pass
+    # left/right probe over the full posting array was the join's
+    # single biggest cost at 20k x 1024 — measured 0.114 s of 0.47 s);
+    # run start + document frequency come from the cached run table
+    nd = len(st.hashes)
+    pos = np.searchsorted(st.hashes, qm)
+    posc = np.minimum(pos, max(nd - 1, 0))
+    found = (pos < nd) & (st.hashes[posc] == qm) if nd else np.zeros(len(qm), bool)
+    cnt = np.where(found, st.df[posc], 0).astype(np.int64)
+    lo = np.where(found, st.run_starts[posc], 0)
     total = int(cnt.sum())
     if total == 0:
         z = np.zeros(0, np.int64)
-        return _JoinSegments(z, z, z, z, z, z, z, 0)
+        return _JoinSegments(z, z, z, z, z, z, z, posc, 0)
     q_sizes = np.diff(query.offsets)
     q_row_per_hash = np.repeat(np.arange(len(query), dtype=np.int64), q_sizes)
     # expand each query hash's posting span [lo, hi) into flat indices
@@ -176,8 +233,35 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     seg_n = np.diff(np.append(starts, total))
     seg_id = np.cumsum(new) - 1
     return _JoinSegments(
-        starts, seg_n, pq[starts], pt[starts], seg_id, pab, qhash, total
+        starts, seg_n, pq[starts], pt[starts], seg_id, pab, qhash, posc, total
     )
+
+
+# per-(query, target) validated-block counters (weak-keyed: retired
+# corpora must not be kept alive by a bookkeeping cache)
+_VALIDATE_COUNTS: "OrderedDict[tuple, tuple]" = OrderedDict()
+_VALIDATE_SLOTS = 64
+# full cross-check on a pair's first blocks, then every Nth
+_VALIDATE_WARMUP = 2
+_VALIDATE_EVERY = 16
+
+
+def _validation_due(query, target) -> bool:
+    import weakref
+
+    key = (id(query.mins), id(target.mins))
+    ent = _VALIDATE_COUNTS.get(key)
+    if ent is None or ent[0]() is not query.mins or ent[1]() is not target.mins:
+        n = 0
+    else:
+        n = ent[2]
+    _VALIDATE_COUNTS[key] = (
+        weakref.ref(query.mins), weakref.ref(target.mins), n + 1,
+    )
+    _VALIDATE_COUNTS.move_to_end(key)
+    while len(_VALIDATE_COUNTS) > _VALIDATE_SLOTS:
+        _VALIDATE_COUNTS.popitem(last=False)
+    return n < _VALIDATE_WARMUP or (n % _VALIDATE_EVERY) == 0
 
 
 def _validate_with_device(query, target, js: _JoinSegments, weighted, sample: int = 64):
@@ -189,20 +273,27 @@ def _validate_with_device(query, target, js: _JoinSegments, weighted, sample: in
     pair's (q, t, count) compared, not sampled), and end-to-end it
     measured 31x faster than the dense engine at human-proteome scale
     (20k targets x 1024 queries) — the dense matrices' host fetch
-    dominated. Weighted sums are sampled and only compared where they
-    fit the device's int32 accumulator — the host's int64 sums are
-    authoritative for high-abundance corpora. Raises a descriptive
-    error instead of a bare assert (survives ``python -O``).
+    dominated. Weighted sums are sampled; the device's 16-bit limb
+    accumulation (``ops.sparse_search._sparse_hits_core``) makes them
+    int64-exact, so every sampled pair is compared — no high-abundance
+    skip. Raises a descriptive error instead of a bare assert (survives
+    ``python -O``).
 
-    Set ``KMERSEEK_SEARCH_VALIDATE=0`` to skip the cross-check (single-
-    pass host join) on trusted production corpora."""
+    Amortization: the cross-check re-runs the full device search, so by
+    default it runs on a (query, target) pair's first two blocks and
+    every 16th thereafter — a steady-state scrub instead of paying for
+    every search twice (the always-on check measured ~30% of warm
+    end-to-end wall at 20k x 1024). ``KMERSEEK_SEARCH_VALIDATE``:
+    ``0`` never, ``always`` every call, default amortized."""
     import os
 
-    if os.environ.get("KMERSEEK_SEARCH_VALIDATE") == "0":
+    policy = os.environ.get("KMERSEEK_SEARCH_VALIDATE", "")
+    if policy == "0":
+        return
+    if policy != "always" and not _validation_due(query, target):
         return
     rng = np.random.default_rng(0)
     take = rng.choice(len(js.seg_n), size=min(sample, len(js.seg_n)), replace=False)
-    ok = weighted[take] < 2**31
 
     import jax.numpy as jnp
 
@@ -228,7 +319,7 @@ def _validate_with_device(query, target, js: _JoinSegments, weighted, sample: in
         and np.array_equal(hits.t, js.seg_t)
         and np.array_equal(hits.count, js.seg_n)
     )
-    weight_ok = np.array_equal(hits.weight[take][ok], weighted[take][ok])
+    weight_ok = np.array_equal(hits.weight[take], weighted[take])
     if not count_ok:
         raise RuntimeError(
             "device/host search disagreement on intersect counts"
@@ -304,16 +395,6 @@ def manysearch_columns(
     tw = t_weight[js.seg_t]
     f_weighted = weighted / tw
 
-    # md5s only for signatures that appear in a kept row
-    q_md5 = {
-        int(i): query.md5_for(int(i))
-        for i in np.unique(js.seg_q[keep]).tolist()
-    }
-    t_md5 = {
-        int(j): target.md5_for(int(j))
-        for j in np.unique(js.seg_t[keep]).tolist()
-    }
-
     # emit in (query_name, match_name) order without a Python sort
     kept = np.flatnonzero(keep)
     kept = kept[
@@ -325,51 +406,57 @@ def manysearch_columns(
         )
     ]
 
-    # column lists (one vectorized conversion each) — per-row Python
-    # work is a handful of list comprehensions over plain scalars
-    sq = js.seg_q[kept].tolist()
-    st = js.seg_t[kept].tolist()
-    cont_l = containment[kept].tolist()
-    ctq_l = c_tq[kept].tolist()
+    # vectorized column assembly: numeric columns stay numpy arrays
+    # (binary-exact; parquet consumes them zero-copy and the CSV
+    # formatter round-trips through .tolist() → repr, byte-identical to
+    # the old per-row lists), string columns come from object-array
+    # fancy indexing over per-unique lookups — no per-row Python loop
+    sq = js.seg_q[kept]
+    st = js.seg_t[kept]
+    cont = containment[kept]
+    ctq = c_tq[kept]
+    n = len(sq)
     # scalar libm exp/log — keeps the golden CSV strings bit-exact
     # (numpy's SIMD transcendentals can differ in the last ulp); the
     # distinct containment values are few (count/size rationals), so
-    # compute each once and look the rows up
-    ani_map = {
-        c: _ani(c, k3)
-        for c in np.unique(np.concatenate([containment[kept], c_tq[kept]])).tolist()
-    }
-    ani_q_l = [ani_map[c] for c in cont_l]
-    ani_t_l = [ani_map[c] for c in ctq_l]
-    n = len(sq)
-    qnames, tnames = query.names, target.names
+    # compute each once and scatter by inverse index
+    u, inv_idx = np.unique(np.concatenate([cont, ctq]), return_inverse=True)
+    ani_u = np.array([_ani(c, k3) for c in u.tolist()], np.float64)
+    ani_q = ani_u[inv_idx[:n]]
+    ani_t = ani_u[inv_idx[n:]]
+
+    # names + md5s via per-unique lookup, broadcast by searchsorted
+    uq = np.unique(sq)
+    ut = np.unique(st)
+    q_md5_u = np.array([query.md5_for(int(i)) for i in uq], object)
+    t_md5_u = np.array([target.md5_for(int(j)) for j in ut], object)
+    qname_u = np.array([query.names[int(i)] for i in uq], object)
+    tname_u = np.array([target.names[int(j)] for j in ut], object)
+    qi_pos = np.searchsorted(uq, sq)
+    tj_pos = np.searchsorted(ut, st)
     return {
-        "query_name": [qnames[qi] for qi in sq],
-        "query_md5": [q_md5[qi] for qi in sq],
-        "match_name": [tnames[tj] for tj in st],
-        "containment": cont_l,
-        "intersect_hashes": js.seg_n[kept].tolist(),
-        "ksize": [k3] * n,
-        "scaled": [scaled] * n,
+        "query_name": qname_u[qi_pos].tolist(),
+        "query_md5": q_md5_u[qi_pos].tolist(),
+        "match_name": tname_u[tj_pos].tolist(),
+        "containment": cont,
+        "intersect_hashes": js.seg_n[kept],
+        "ksize": np.full(n, k3, np.int64),
+        "scaled": np.full(n, scaled, np.int64),
         "moltype": [moltype] * n,
-        "match_md5": [t_md5[tj] for tj in st],
-        "jaccard": jaccard[kept].tolist(),
-        "max_containment": np.maximum(containment[kept], c_tq[kept]).tolist(),
-        "average_abund": mean[kept].tolist(),
-        "median_abund": median[kept].tolist(),
-        "std_abund": std[kept].tolist(),
-        "query_containment_ani": ani_q_l,
-        "match_containment_ani": ani_t_l,
-        "average_containment_ani": [
-            (a + b) / 2.0 for a, b in zip(ani_q_l, ani_t_l)
-        ],
-        "max_containment_ani": [
-            a if a >= b else b for a, b in zip(ani_q_l, ani_t_l)
-        ],
-        "n_weighted_found": weighted[kept].tolist(),
-        "total_weighted_hashes": tw[kept].tolist(),
-        "containment_target_in_query": ctq_l,
-        "f_weighted_target_in_query": f_weighted[kept].tolist(),
+        "match_md5": t_md5_u[tj_pos].tolist(),
+        "jaccard": jaccard[kept],
+        "max_containment": np.maximum(cont, ctq),
+        "average_abund": mean[kept],
+        "median_abund": median[kept],
+        "std_abund": std[kept],
+        "query_containment_ani": ani_q,
+        "match_containment_ani": ani_t,
+        "average_containment_ani": (ani_q + ani_t) / 2.0,
+        "max_containment_ani": np.maximum(ani_q, ani_t),
+        "n_weighted_found": weighted[kept],
+        "total_weighted_hashes": tw[kept],
+        "containment_target_in_query": ctq,
+        "f_weighted_target_in_query": f_weighted[kept],
     }
 
 
@@ -407,17 +494,12 @@ def multisearch_columns(
 
     # database hash statistics straight off the (already sorted)
     # inverted posting array: run-length boundaries give per-hash
-    # document frequency + summed abundance — no re-sort of the corpus
-    inv = target.inverted
-    g = inv.g64()
-    first = np.empty(len(g), bool)
-    first[0] = True
-    first[1:] = g[1:] != g[:-1]
-    run_starts = np.flatnonzero(first)
-    db_hashes = g[run_starts]
-    df_arr = np.diff(np.append(run_starts, len(g)))
-    db_ab_arr = np.add.reduceat(inv.ab.astype(np.float64), run_starts)
-    sum_db_ab = float(db_ab_arr.sum())
+    # document frequency + summed abundance — cached per index
+    # (``_db_hash_stats``), shared with the join
+    st_db = _db_hash_stats(target.inverted)
+    df_arr = st_db.df
+    db_ab_arr = st_db.db_ab
+    sum_db_ab = st_db.sum_db_ab
     weighted = np.add.reduceat(js.pab, js.starts)
     _validate_with_device(query, target, js, weighted)
 
@@ -427,9 +509,10 @@ def multisearch_columns(
         np.append(query.abundances, 0), query.offsets[:-1]
     ).astype(np.float64)
 
-    # per-tuple tf / probability / tf-idf terms, reduced per segment
-    tup_hash = query.mins[js.qhash]
-    dbpos = np.searchsorted(db_hashes, tup_hash)
+    # per-tuple tf / probability / tf-idf terms, reduced per segment;
+    # the distinct-hash position of every query hash is already known
+    # from the join probe — no second searchsorted over the tuples
+    dbpos = js.qpos[js.qhash]
     tf = query.abundances[js.qhash].astype(np.float64) / sum_q_ab[js.seg_q[js.seg_id]]
     prob = np.add.reduceat(tf * (db_ab_arr[dbpos] / sum_db_ab), js.starts)
     tfidf = np.add.reduceat(
@@ -587,10 +670,15 @@ def _rows_from_columns(cols: Dict[str, list]) -> List[Dict]:
     collections that each rescan the growing heap (measured 70 s → 21 s
     cold at 494k×22 on a 4-core host; no change to steady state)."""
     keys = list(cols.keys())
+    # numpy-backed numeric columns → plain Python scalars first (same
+    # row values as the historical list-backed columns)
+    vals = [
+        v.tolist() if isinstance(v, np.ndarray) else v for v in cols.values()
+    ]
     gc_was_enabled = gc.isenabled()
     gc.disable()
     try:
-        return [dict(zip(keys, vals)) for vals in zip(*cols.values())]
+        return [dict(zip(keys, row)) for row in zip(*vals)]
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -598,7 +686,10 @@ def _rows_from_columns(cols: Dict[str, list]) -> List[Dict]:
 
 def _format_value(v) -> str:
     if isinstance(v, float):
-        return repr(v)
+        # through the builtin float: repr(np.float64) would prepend the
+        # dtype in numpy 2.x while repr(float) is the shortest
+        # round-trip string the reference CSV pins
+        return repr(float(v))
     return str(v)
 
 
@@ -610,8 +701,14 @@ def _format_column(vals: list) -> list:
     columns get ``csv`` QUOTE_MINIMAL semantics (quote if the value
     holds a delimiter, quote, or newline; embedded quotes doubled) —
     byte-identical to ``csv.writer`` output."""
-    if not vals:
+    if len(vals) == 0:
         return []
+    if isinstance(vals, np.ndarray):
+        # .tolist() yields builtin scalars: float repr is the shortest
+        # round-trip (byte-equal to the historical list columns)
+        if vals.dtype.kind == "f":
+            return list(map(repr, vals.tolist()))
+        return list(map(str, vals.tolist()))
     v0 = vals[0]
     if isinstance(v0, float):
         return list(map(repr, vals))

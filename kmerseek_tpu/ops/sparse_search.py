@@ -38,12 +38,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from .inverted import (
+    DeviceInvertedIndex,
     InvertedIndex,
     _bisect_rounds_packed,
     _bucketed_lower_bound_packed,
     build_inverted_np,
     device_postings,
 )
+
+
+def _combine_weight_limbs(w) -> np.ndarray:
+    """(…, 2) int32 weight-limb array → exact int64 weighted sums
+    (lo + (hi << 16); see the limb accumulation in _sparse_hits_core)."""
+    w = np.asarray(w)
+    return w[..., 0].astype(np.int64) + (w[..., 1].astype(np.int64) << 16)
 
 
 class SparseHits(NamedTuple):
@@ -183,9 +191,17 @@ def _sparse_hits_core(
     counts = jnp.zeros(capacity, jnp.int32).at[slot].add(
         valid.astype(jnp.int32), mode="drop"
     )
-    weights = jnp.zeros(capacity, jnp.int32).at[slot].add(
-        jnp.where(valid, sw, 0), mode="drop"
-    )
+    # 64-bit-exact weighted sums from two 16-bit limb accumulators: a
+    # segment holds ≤ S tuples (one per query-hash slot), so the limb
+    # sums stay ≤ S·2^16 < 2^31 for any realistic block width while the
+    # COMBINED value (host: lo + (hi << 16), int64) is exact up to
+    # S·2^31 — no int32 saturation on high-abundance corpora. The limbs
+    # are split AFTER the sort (sw is an operand either way), so the
+    # only extra device cost is one more bounded scatter-add.
+    wv = jnp.where(valid, sw, 0)
+    weights = jnp.zeros((capacity, 2), jnp.int32)
+    weights = weights.at[slot, 0].add(wv & jnp.int32(0xFFFF), mode="drop")
+    weights = weights.at[slot, 1].add(wv >> jnp.int32(16), mode="drop")
     head_slot = jnp.where(head, seg, capacity)
     q_out = jnp.full(capacity, Q, jnp.int32).at[head_slot].set(sq, mode="drop")
     t_out = jnp.full(capacity, n_targets, jnp.int32).at[head_slot].set(
@@ -223,9 +239,12 @@ def inverted_sparse_hits(
     ``device_postings`` layout — every probe and run step is one
     16-byte gather row) with the bucketed lower bound.
 
-    Returns (q_out, t_out, count_out, weight_out, n_hits) with the
+    Returns (q_out, t_out, count_out, weight_limbs, stats) with the
     first ``min(n_hits, capacity)`` slots populated in (q, t) ascending
     order; slots beyond the hit count hold q = Q sentinels.
+    ``weight_limbs`` is (capacity, 2) int32 — 16-bit lo/hi limb sums
+    whose host combination (``_combine_weight_limbs``) is the exact
+    int64 weighted sum (no int32 saturation at high abundance).
 
     ``run_offset`` shifts the probe window within each posting run:
     the kernel examines run elements [run_offset, run_offset+max_run).
@@ -331,6 +350,15 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _cache_owner(inv):
+    """Identity anchor for the learned-hint caches: the host ``g_hi``
+    array, or the device ``g4_dev`` for a ``DeviceInvertedIndex`` —
+    touching ``.g_hi`` there would force a corpus-sized download just
+    to key a cache."""
+    g4_dev = getattr(inv, "g4_dev", None)
+    return g4_dev if g4_dev is not None else inv.g_hi
+
+
 def _cache_get(cache: OrderedDict, key: tuple, owner):
     """Value if the entry's weakly-referenced owner is still ``owner``."""
     ent = cache.get(key)
@@ -350,7 +378,8 @@ def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
     """Static E for the compact expansion (None → rectangular path)."""
     if not COMPACT_EXPANSION:
         return None
-    e = _cache_get(_EXPAND_CACHE, (id(inv.g_hi), Q, S), inv.g_hi)
+    owner = _cache_owner(inv)
+    e = _cache_get(_EXPAND_CACHE, (id(owner), Q, S), owner)
     if e is None:
         e = _pow2(4 * Q * S)
     # never above the rectangular worst case, never trivial
@@ -358,13 +387,14 @@ def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
 
 
 def _note_expand(inv: InvertedIndex, Q: int, S: int, m_seen: int) -> None:
-    key = (id(inv.g_hi), Q, S)
-    prev = _cache_get(_EXPAND_CACHE, key, inv.g_hi) or 0
+    owner = _cache_owner(inv)
+    key = (id(owner), Q, S)
+    prev = _cache_get(_EXPAND_CACHE, key, owner) or 0
     _cache_put(
         _EXPAND_CACHE,
         _EXPAND_CACHE_SLOTS,
         key,
-        inv.g_hi,
+        owner,
         max(prev, _pow2(2 * max(m_seen, 64))),
     )
 
@@ -382,12 +412,14 @@ _HP_CACHE_SLOTS = 64
 
 
 def _hp_hint(inv: InvertedIndex, shape: tuple):
-    return _cache_get(_HP_CACHE, (id(inv.g_hi),) + shape, inv.g_hi)
+    owner = _cache_owner(inv)
+    return _cache_get(_HP_CACHE, (id(owner),) + shape, owner)
 
 
 def _note_hp(inv: InvertedIndex, shape: tuple, hp: int) -> None:
+    owner = _cache_owner(inv)
     _cache_put(
-        _HP_CACHE, _HP_CACHE_SLOTS, (id(inv.g_hi),) + shape, inv.g_hi, int(hp)
+        _HP_CACHE, _HP_CACHE_SLOTS, (id(owner),) + shape, owner, int(hp)
     )
 
 
@@ -474,13 +506,13 @@ def _sparse_single(
     if opt is not None and h <= hv:
         qo, to, co, wo = (np.asarray(v) for v in opt)
         return SparseHits(
-            qo[:h], to[:h], co[:h], wo[:h].astype(np.int64), n
+            qo[:h], to[:h], co[:h], _combine_weight_limbs(wo[:h]), n
         )
     return SparseHits(
         np.asarray(q_out[:hp])[:h],
         np.asarray(t_out[:hp])[:h],
         np.asarray(counts[:hp])[:h],
-        np.asarray(weights[:hp])[:h].astype(np.int64),
+        _combine_weight_limbs(np.asarray(weights[:hp])[:h]),
         n,
     )
 
@@ -608,7 +640,8 @@ def _sparse_chunks(
             continue
         parts.append(
             SparseHits(
-                qa[c, :h], ta[c, :h], ca[c, :h], wa[c, :h].astype(np.int64), nc
+                qa[c, :h], ta[c, :h], ca[c, :h],
+                _combine_weight_limbs(wa[c, :h]), nc,
             )
         )
     return parts
@@ -680,10 +713,10 @@ def sparse_search(
     inflates kernel memory.
     """
     inv = getattr(index, "inverted", None)
-    if not isinstance(inv, InvertedIndex):
+    if not isinstance(inv, (InvertedIndex, DeviceInvertedIndex)):
         inv = build_inverted_np(index.mins, index.abundances, index.offsets)
     Q, S = np.asarray(q_hi).shape
-    if len(inv.g_hi) == 0:
+    if inv.n_postings == 0:
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
     if q_chunk is not None and Q > q_chunk:

@@ -354,13 +354,14 @@ def sharded_sparse_search(
     from ..ops.sparse_search import (
         _RUN_TILE,
         SparseHits,
+        _combine_weight_limbs,
         _merge_partial_hits,
         _pow2,
     )
 
     n = mesh.devices.size
     Q, S = np.asarray(q_hi).shape
-    if len(inv.g_hi) == 0:
+    if inv.n_postings == 0:
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
     g4, local_n, run = _sharded_sparse_program(mesh, inv)
@@ -412,7 +413,8 @@ def sharded_sparse_search(
             real = ts < inv.n_targets
             parts.append(
                 SparseHits(
-                    qs[real], ts[real], cs[real], ws[real].astype(np.int64),
+                    qs[real], ts[real], cs[real],
+                    _combine_weight_limbs(ws[real]),
                     int(real.sum()),
                 )
             )

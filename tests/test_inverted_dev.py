@@ -1,0 +1,194 @@
+"""Device-side inverted-index build: bit-equality with the host build.
+
+The device build (``ops.inverted.build_inverted_dev``) replaces the
+host argsort with one stable 2-key ``lax.sort`` and keeps the packed
+postings in device memory (branchwater ``do_index`` revindex semantics,
+/root/reference/src/python/kmerseek/index.py:55-74). Every derived
+quantity — posting order, run statistics, bucket table — must equal
+``build_inverted_np`` exactly.
+"""
+
+import numpy as np
+import pytest
+
+from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+from kmerseek_tpu.ops.inverted import (
+    DeviceInvertedIndex,
+    build_inverted,
+    build_inverted_dev,
+    build_inverted_np,
+    device_postings,
+)
+
+
+def _mk_corpus(seed, n_targets=60, row_len=24, pool_size=300, max_hash=2**62):
+    """Random CSR corpus with deliberate cross-target hash sharing."""
+    rng = np.random.default_rng(seed)
+    pool = np.sort(
+        rng.choice(np.uint64(max_hash), size=pool_size, replace=False).astype(
+            np.uint64
+        )
+    )
+    ids = np.sort(rng.integers(0, len(pool), size=(n_targets, row_len)), axis=1)
+    keep = np.ones_like(ids, bool)
+    keep[:, 1:] = ids[:, 1:] != ids[:, :-1]
+    counts = keep.sum(axis=1)
+    mins = pool[ids[keep]]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    ab = rng.integers(1, 9, size=len(mins)).astype(np.int64)
+    return mins, ab, offsets
+
+
+def _assert_inv_equal(dev: DeviceInvertedIndex, host):
+    assert dev.n_postings == host.n_postings
+    assert np.array_equal(dev.g_hi, host.g_hi)
+    assert np.array_equal(dev.g_lo, host.g_lo)
+    assert np.array_equal(dev.tid, host.tid)
+    assert np.array_equal(dev.ab, host.ab)
+    assert dev.n_targets == host.n_targets
+    assert dev.max_run == host.max_run
+    assert dev.bucket_shift == host.bucket_shift
+    assert dev.max_span == host.max_span
+    assert np.array_equal(dev.bucket_starts, host.bucket_starts)
+    assert np.array_equal(dev.packed(), host.packed())
+    assert np.array_equal(dev.g64(), host.g64())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_build_bit_equal(seed):
+    mins, ab, offsets = _mk_corpus(seed)
+    host = build_inverted_np(mins, ab, offsets)
+    dev = build_inverted_dev(mins, ab, offsets)
+    _assert_inv_equal(dev, host)
+
+
+def test_device_build_stable_tid_order():
+    """Equal hashes must keep target-id ascending order (stable sort) —
+    one hash planted in EVERY target makes any instability visible."""
+    rng = np.random.default_rng(9)
+    common = np.uint64(12345678901234)
+    rows, abs_ = [], []
+    for i in range(50):
+        extra = np.sort(
+            rng.choice(np.uint64(2**61), size=5, replace=False).astype(
+                np.uint64
+            )
+        )
+        row = np.sort(np.concatenate([[common], extra]))
+        rows.append(row)
+        abs_.append(rng.integers(1, 5, size=len(row)))
+    counts = np.array([len(r) for r in rows])
+    mins = np.concatenate(rows)
+    ab = np.concatenate(abs_).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    host = build_inverted_np(mins, ab, offsets)
+    dev = build_inverted_dev(mins, ab, offsets)
+    assert host.max_run >= 50
+    _assert_inv_equal(dev, host)
+    # the common hash's run is tid-ascending in both
+    g = dev.g64()
+    run = np.flatnonzero(g == common)
+    assert np.array_equal(dev.tid[run], np.sort(dev.tid[run]))
+
+
+def test_device_build_u64_max_and_low_hashes():
+    """Edge hashes: u64::MAX (wrap in upper-bound probes), zero, and a
+    cluster in the lowest bucket."""
+    mins = np.array(
+        [0, 1, 2, 0xFFFFFFFFFFFFFFFF, 5, 0xFFFFFFFFFFFFFFFF, 7],
+        dtype=np.uint64,
+    )
+    ab = np.arange(1, 8, dtype=np.int64)
+    offsets = np.array([0, 4, 7], np.int64)
+    host = build_inverted_np(mins, ab, offsets)
+    dev = build_inverted_dev(mins, ab, offsets)
+    _assert_inv_equal(dev, host)
+
+
+def test_device_build_empty_and_scaled_range():
+    # empty corpus falls back to the host build (plain InvertedIndex)
+    e = build_inverted_dev(
+        np.zeros(0, np.uint64), np.zeros(0, np.int64), np.array([0], np.int64)
+    )
+    assert e.n_postings == 0
+    # scaled>1 hash range (max hash ≪ 2^64) exercises the adaptive
+    # bucket shift on both engines
+    mins, ab, offsets = _mk_corpus(3, max_hash=2**44)
+    host = build_inverted_np(mins, ab, offsets)
+    dev = build_inverted_dev(mins, ab, offsets)
+    assert host.bucket_shift == 32  # clamped: hashes fit the low words
+    _assert_inv_equal(dev, host)
+
+
+def test_device_postings_passthrough_no_upload():
+    """device_postings must hand back the device-built arrays without
+    touching the host columns (no hidden download)."""
+    mins, ab, offsets = _mk_corpus(4)
+    dev = build_inverted_dev(mins, ab, offsets)
+    binv, g4, starts = device_postings(dev)
+    assert binv is dev
+    assert g4 is dev.g4_dev
+    assert starts is dev.bucket_starts_dev
+    assert dev._host_cols is None  # still device-only
+
+
+def test_search_engines_accept_device_build():
+    """Dense and sparse engines produce identical results from a
+    device-built and a host-built index."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.inverted import inverted_search
+    from kmerseek_tpu.ops.sparse_search import sparse_search
+
+    mins, ab, offsets = _mk_corpus(5)
+    cfg = IndexConfig(16, 5, "hp")
+    names = [f"t{i}" for i in range(len(offsets) - 1)]
+    t_host = ProteomeIndex(cfg, names, mins, ab, offsets)
+    t_dev = ProteomeIndex(cfg, names, mins, ab, offsets)
+    t_dev._inverted = build_inverted_dev(mins, ab, offsets)
+
+    qm, qab, qoff = _mk_corpus(6, n_targets=12, row_len=10)
+    query = ProteomeIndex(cfg, [f"q{i}" for i in range(12)], qm, qab, qoff)
+    q_hi, q_lo, _a, _c = query.dense_device_arrays()
+    S = q_hi.shape[1]
+    q_valid = jnp.asarray(np.arange(S)[None, :] < query.counts[:, None])
+
+    ch, wh = inverted_search(t_host, q_hi, q_lo, q_valid)
+    cd, wd = inverted_search(t_dev, q_hi, q_lo, q_valid)
+    assert np.array_equal(np.asarray(ch), np.asarray(cd))
+    assert np.array_equal(np.asarray(wh), np.asarray(wd))
+
+    sh = sparse_search(t_host, q_hi, q_lo, q_valid)
+    sd = sparse_search(t_dev, q_hi, q_lo, q_valid)
+    assert sh.n_hits == sd.n_hits
+    for a, b in zip(sh, sd):
+        assert np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
+
+
+def test_build_inverted_env_dispatch(monkeypatch):
+    mins, ab, offsets = _mk_corpus(7)
+    monkeypatch.setenv("KMERSEEK_INVERTED_BUILD", "device")
+    dev = build_inverted(mins, ab, offsets)
+    assert isinstance(dev, DeviceInvertedIndex)
+    monkeypatch.setenv("KMERSEEK_INVERTED_BUILD", "host")
+    host = build_inverted(mins, ab, offsets)
+    assert not isinstance(host, DeviceInvertedIndex)
+    _assert_inv_equal(dev, host)
+
+
+def test_ksx_roundtrip_with_device_build(tmp_path):
+    """Persisting an index whose inverted postings were built on device
+    must produce a .ksx that loads to the same host postings."""
+    mins, ab, offsets = _mk_corpus(8, n_targets=20)
+    cfg = IndexConfig(16, 5, "hp")
+    names = [f"t{i}" for i in range(len(offsets) - 1)]
+    idx = ProteomeIndex(cfg, names, mins, ab, offsets)
+    idx._inverted = build_inverted_dev(mins, ab, offsets)
+    path = idx.save(str(tmp_path / "x.ksx"))
+    loaded = ProteomeIndex.load(path)
+    host = build_inverted_np(mins, ab, offsets)
+    li = loaded.inverted
+    assert np.array_equal(li.g_hi, host.g_hi)
+    assert np.array_equal(li.tid, host.tid)
+    assert li.max_run == host.max_run
+    assert np.array_equal(li.bucket_starts, host.bucket_starts)

@@ -530,3 +530,52 @@ def test_explicit_capacity_slot_budget_fallback(monkeypatch):
     seq = sparse_search(target, q_hi, q_lo, q_valid, capacity=cap, q_chunk=8)
     for a, b in zip(seq, normal):
         assert np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
+
+
+def test_weight_limbs_exact_past_int32():
+    """High-abundance corpus: device weighted sums must equal the host
+    int64 sums even where a pair's sum exceeds 2^31 (the 16-bit limb
+    accumulation — VERDICT r2 item 4; no saturation, no skip)."""
+    rng = np.random.default_rng(91)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=120, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(30, 20, pool, 92)
+    # crank abundances toward int32 max: a pair with ≥2 shared hashes
+    # sums past 2^31
+    hot = (1 << 31) - 17
+    ab = np.full(len(target.mins), hot, np.int64)
+    target = ProteomeIndex(
+        target.config, list(target.names), target.mins, ab, target.offsets
+    )
+    query = _mk_index(10, 15, pool, 93)
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    hits = sparse_search(target, q_hi, q_lo, q_valid)
+    assert hits.n_hits > 0
+    # host oracle: searchsorted join, int64 sums
+    g = target.inverted.g64()
+    inv = target.inverted
+    exp = {}
+    for qi in range(len(query)):
+        qs = query.mins[query.offsets[qi]:query.offsets[qi + 1]]
+        lo = np.searchsorted(g, qs, side="left")
+        hi = np.searchsorted(g, qs, side="right")
+        for a, b in zip(lo, hi):
+            for p in range(a, b):
+                k = (qi, int(inv.tid[p]))
+                c, w = exp.get(k, (0, 0))
+                exp[k] = (c + 1, w + int(inv.ab[p]))
+    assert len(exp) == hits.n_hits
+    over = 0
+    for q, t, c, w in zip(hits.q, hits.t, hits.count, hits.weight):
+        ec, ew = exp[(int(q), int(t))]
+        assert (ec, ew) == (int(c), int(w))
+        over += ew >= 2**31
+    assert over > 0  # the saturating case is genuinely exercised
+
+    # the production validate path compares every sampled weight now
+    from kmerseek_tpu.core.search import manysearch_columns
+
+    cols = manysearch_columns(query, target)
+    assert max(cols["n_weighted_found"]) >= 2**31
