@@ -125,9 +125,12 @@ class _DbHashStats:
     reuse it across every query block instead of re-deriving ~N-sized
     temporaries per call."""
 
-    __slots__ = ("hashes", "run_starts", "df", "db_ab", "sum_db_ab")
+    __slots__ = (
+        "hashes", "run_starts", "df", "db_ab", "sum_db_ab",
+        "_dstarts", "_dshift", "_dsteps",
+    )
 
-    def __init__(self, g: np.ndarray, ab: np.ndarray):
+    def __init__(self, g: np.ndarray, ab: np.ndarray, g_hi=None):
         first = np.empty(len(g), bool)
         first[0] = True
         first[1:] = g[1:] != g[:-1]
@@ -136,6 +139,65 @@ class _DbHashStats:
         self.df = np.diff(np.append(self.run_starts, len(g)))
         self.db_ab = np.add.reduceat(ab.astype(np.float64), self.run_starts)
         self.sum_db_ab = float(self.db_ab.sum())
+        # top-bits bucket table over the DISTINCT hashes (same adaptive
+        # shift as ops.inverted.with_buckets): a probe binary-searches
+        # only its ~2-entry bucket span instead of the whole table —
+        # measured 62 ms -> 3 ms for 10^5 probes into 2*10^6 hashes
+        # (random probes into a table past L2 pay a cache miss per
+        # bisect level; the bucket lookup is one gather)
+        from ..ops.inverted import BUCKET_BITS
+
+        nd = len(self.hashes)
+        if nd:
+            max_hash = int(self.hashes[-1])
+            lead_z = 64 - max_hash.bit_length() if max_hash else 0
+            self._dshift = max(64 - BUCKET_BITS - lead_z, 32)
+            if g_hi is None:
+                tops = (self.hashes >> np.uint64(self._dshift)).astype(
+                    np.int64
+                )
+            else:  # u32 high-word shift: ~25x faster than the u64 shift
+                tops = (
+                    g_hi[self.run_starts] >> np.uint32(self._dshift - 32)
+                ).astype(np.int64)
+            counts = np.bincount(tops, minlength=1 << BUCKET_BITS)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            self._dstarts = np.append(starts, nd).astype(np.int64)
+            max_span = int(np.diff(self._dstarts).max(initial=1))
+            self._dsteps = max(max_span.bit_length(), 1)
+        else:
+            self._dstarts = np.zeros(2, np.int64)
+            self._dshift = 32
+            self._dsteps = 1
+
+    def lookup(self, qm: np.ndarray) -> np.ndarray:
+        """Vectorized ``searchsorted(self.hashes, qm, side="left")`` via
+        the bucket table: O(log max_span) bisect rounds within each
+        probe's own bucket span."""
+        nd = len(self.hashes)
+        if nd == 0:
+            return np.zeros(len(qm), np.int64)
+        # clamp: probes above the table max (query hashes aren't capped
+        # by the TARGET's max) fall in the last bucket and bisect to nd.
+        # The bucket id comes from the high u32 word (little-endian
+        # byte view) — the equivalent u64 shift is ~25x slower on this
+        # host class (see ops.inverted.with_buckets).
+        qm = np.ascontiguousarray(qm)
+        qm_hi = qm.view(np.uint32)[1::2]
+        b = np.minimum(
+            (qm_hi >> np.uint32(self._dshift - 32)).astype(np.int64),
+            len(self._dstarts) - 2,
+        )
+        lo = self._dstarts[b]
+        hi = self._dstarts[b + 1]
+        h = self.hashes
+        top = nd - 1
+        for _ in range(self._dsteps):
+            mid = (lo + hi) >> 1
+            go_right = (h[np.minimum(mid, top)] < qm) & (mid < hi)
+            lo = np.where(go_right, mid + 1, lo)
+            hi = np.where(go_right, hi, mid)
+        return lo
 
 
 _DB_STATS_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
@@ -150,7 +212,7 @@ def _db_hash_stats(inv) -> _DbHashStats:
     if ent is not None and ent[0]() is owner:
         _DB_STATS_CACHE.move_to_end(id(owner))
         return ent[1]
-    stats = _DbHashStats(inv.g64(), inv.ab)
+    stats = _DbHashStats(inv.g64(), inv.ab, g_hi=inv.g_hi)
     import weakref
 
     _DB_STATS_CACHE[id(owner)] = (weakref.ref(owner), stats)
@@ -205,7 +267,7 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     # single biggest cost at 20k x 1024 — measured 0.114 s of 0.47 s);
     # run start + document frequency come from the cached run table
     nd = len(st.hashes)
-    pos = np.searchsorted(st.hashes, qm)
+    pos = st.lookup(qm)  # bucketed searchsorted (see _DbHashStats)
     posc = np.minimum(pos, max(nd - 1, 0))
     found = (pos < nd) & (st.hashes[posc] == qm) if nd else np.zeros(len(qm), bool)
     cnt = np.where(found, st.df[posc], 0).astype(np.int64)
@@ -223,8 +285,18 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     pt = inv.tid[idx].astype(np.int64)
     pab = inv.ab[idx].astype(np.int64)
     qhash = np.repeat(np.arange(len(qm), dtype=np.int64), cnt)
-    inner_key = pab if inner == "ab" else qm[qhash]
-    order = np.lexsort((inner_key, pt, pq))
+    T = len(target)
+    if inner == "ab" and len(query) * T < 2**32:
+        # single packed int64 key: (pq, pt) fits 32 bits by the guard,
+        # pab fits 31 (postings are int32 abundances) — one radix-style
+        # stable argsort, ~2x the three-key lexsort. Equal full keys are
+        # interchangeable downstream ("ab" segments only feed order-
+        # insensitive reductions and the O(1) median picks).
+        key = (pq * np.int64(T) + pt) * np.int64(1 << 31) + pab
+        order = np.argsort(key, kind="stable")
+    else:
+        inner_key = pab if inner == "ab" else qm[qhash]
+        order = np.lexsort((inner_key, pt, pq))
     pq, pt, pab, qhash = pq[order], pt[order], pab[order], qhash[order]
     new = np.empty(total, bool)
     new[0] = True
@@ -395,14 +467,18 @@ def manysearch_columns(
     tw = t_weight[js.seg_t]
     f_weighted = weighted / tw
 
-    # emit in (query_name, match_name) order without a Python sort
+    # emit in (query_name, match_name) order without a Python sort;
+    # cached dense name ranks make this an integer lexsort (stable on
+    # both sides, so duplicate names keep the string sort's row order)
     kept = np.flatnonzero(keep)
+    # single packed sort key: both rank spaces are dense (< len(index)),
+    # so qrank * n_tranks + trank fits int64 comfortably
+    n_tranks = np.int64(len(target)) + 1
     kept = kept[
-        np.lexsort(
-            (
-                np.asarray(target.names)[js.seg_t[kept]],
-                np.asarray(query.names)[js.seg_q[kept]],
-            )
+        np.argsort(
+            query.name_ranks[js.seg_q[kept]] * n_tranks
+            + target.name_ranks[js.seg_t[kept]],
+            kind="stable",
         )
     ]
 
@@ -425,25 +501,18 @@ def manysearch_columns(
     ani_q = ani_u[inv_idx[:n]]
     ani_t = ani_u[inv_idx[n:]]
 
-    # names + md5s via per-unique lookup, broadcast by searchsorted
-    uq = np.unique(sq)
-    ut = np.unique(st)
-    q_md5_u = np.array([query.md5_for(int(i)) for i in uq], object)
-    t_md5_u = np.array([target.md5_for(int(j)) for j in ut], object)
-    qname_u = np.array([query.names[int(i)] for i in uq], object)
-    tname_u = np.array([target.names[int(j)] for j in ut], object)
-    qi_pos = np.searchsorted(uq, sq)
-    tj_pos = np.searchsorted(ut, st)
+    # names + md5s by direct fancy-indexing of the per-index cached
+    # object arrays — no per-block unique/searchsorted/Python loop
     return {
-        "query_name": qname_u[qi_pos].tolist(),
-        "query_md5": q_md5_u[qi_pos].tolist(),
-        "match_name": tname_u[tj_pos].tolist(),
+        "query_name": query.names_array[sq].tolist(),
+        "query_md5": query.md5_array[sq].tolist(),
+        "match_name": target.names_array[st].tolist(),
         "containment": cont,
         "intersect_hashes": js.seg_n[kept],
         "ksize": np.full(n, k3, np.int64),
         "scaled": np.full(n, scaled, np.int64),
         "moltype": [moltype] * n,
-        "match_md5": t_md5_u[tj_pos].tolist(),
+        "match_md5": target.md5_array[st].tolist(),
         "jaccard": jaccard[kept],
         "max_containment": np.maximum(cont, ctq),
         "average_abund": mean[kept],
@@ -538,8 +607,8 @@ def multisearch_columns(
     kept = kept[
         np.lexsort(
             (
-                np.asarray(target.names)[js.seg_t[kept]],
-                np.asarray(query.names)[js.seg_q[kept]],
+                target.name_ranks[js.seg_t[kept]],
+                query.name_ranks[js.seg_q[kept]],
             )
         )
     ]

@@ -475,3 +475,65 @@ def test_do_manysearch_parquet_output(ced9_vs_bcl2, tmp_path):
     assert table.num_rows == len(rows) == 5
     got = table.to_pylist()
     assert got == rows
+
+
+def test_db_stats_bucketed_lookup_matches_searchsorted():
+    """_DbHashStats.lookup must equal np.searchsorted(hashes, qm, "left")
+    for random probes, exact hits, bucket-boundary values, and extremes
+    (0 and u64::MAX) — it is the join's probe primitive."""
+    from kmerseek_tpu.core.search import _DbHashStats
+    from kmerseek_tpu.ops.inverted import build_inverted_np
+
+    rng = np.random.default_rng(17)
+    mins_rows = [
+        np.unique(rng.integers(0, 2**62, size=40, dtype=np.uint64))
+        for _ in range(64)
+    ]
+    counts = np.array([len(r) for r in mins_rows])
+    mins = np.concatenate(mins_rows)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    inv = build_inverted_np(mins, np.ones(len(mins), np.int64), offsets)
+    st = _DbHashStats(inv.g64(), inv.ab, g_hi=inv.g_hi)
+    probes = np.concatenate(
+        [
+            rng.integers(0, 2**64, size=500, dtype=np.uint64),
+            st.hashes[:: max(len(st.hashes) // 50, 1)],  # exact hits
+            st.hashes[:: max(len(st.hashes) // 50, 1)] + np.uint64(1),
+            np.array([0, 2**64 - 1], np.uint64),
+        ]
+    )
+    expect = np.searchsorted(st.hashes, probes, side="left")
+    got = st.lookup(probes)
+    assert np.array_equal(got, expect)
+
+
+def test_emission_order_with_duplicate_names():
+    """Rows must emit in (query_name, match_name) string order with the
+    string sort's tie behavior even when names are duplicated (the
+    name-rank lexsort must be order-equivalent to the string lexsort)."""
+    from kmerseek_tpu.core.search import manysearch
+
+    rng = np.random.default_rng(23)
+    pool = np.unique(rng.integers(0, 2**60, size=60, dtype=np.uint64))
+
+    def mk(names, seed):
+        r = np.random.default_rng(seed)
+        rows = [
+            np.unique(pool[r.integers(0, len(pool), size=8)])
+            for _ in names
+        ]
+        counts = np.array([len(x) for x in rows])
+        mins = np.concatenate(rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return ProteomeIndex(
+            IndexConfig(16, 5, "hp"), names,
+            mins, np.ones(len(mins), np.int64), offsets,
+        )
+
+    # duplicate names on both sides, deliberately unsorted
+    target = mk(["zeta", "alpha", "alpha", "mid", "zeta"], 1)
+    query = mk(["q2", "q1", "q1"], 2)
+    rows = manysearch(query, target)
+    assert rows
+    emitted = [(r["query_name"], r["match_name"]) for r in rows]
+    assert emitted == sorted(emitted)
