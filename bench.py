@@ -191,6 +191,51 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16, presort_compac
     return total_kmers / dt, total_kmers
 
 
+def vpu_ops_ceiling(n: int = 1 << 22, chain: int = 256, iters: int = 8) -> float:
+    """Measured u32 elementwise op ceiling of the current backend (ops/s).
+
+    A dependent chain of xorshift-multiply rounds over an (n,)-element
+    u32 array: values stay register/VMEM-resident, so this measures the
+    VPU's sustained ALU issue rate (mul == add == shift on v5e,
+    measured round 2), not HBM. Calls are chained through a scalar data
+    dependency and fetched once (tunnel-latency discipline, as in
+    ``tpu_throughput``). Used to put the sketch-stage throughput on a
+    roofline: ``pct_of_vpu_speed_of_light = rate * ops_per_kmer /
+    ceiling``."""
+    import jax
+    import jax.numpy as jnp
+
+    c1 = jnp.uint32(0x9E3779B1)
+
+    @jax.jit
+    def f(x, dep):
+        v = x + dep
+        # unrolled xorshift-multiply rounds (3 ops each): straight-line
+        # code fuses into ONE register-resident elementwise kernel (a
+        # fori_loop carry would round-trip HBM every iteration), and the
+        # xor-shift keeps the chain non-affine so XLA cannot fold it
+        for _ in range(chain):
+            v = (v ^ (v >> jnp.uint32(15))) * c1
+        # uint32 wrapping sum — only consumed as a chain dependency
+        return v.sum()
+
+    x = jnp.arange(n, dtype=jnp.uint32)
+    dep = f(x, jnp.uint32(0))
+    int(dep)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dep = f(x, dep)
+    final = int(dep)  # single host fetch forces the whole chain
+    dt = (time.perf_counter() - t0) / iters
+    assert final >= 0
+    return 3.0 * n * chain / dt
+
+
+# documented per-window integer op count of the fused hash kernel
+# (encode + packed-word murmur3 x64_128 + scaled filter) — DESIGN.md §3
+_SKETCH_OPS_PER_KMER = 280
+
+
 def _device_healthy(deadline_s: int = 75) -> bool:
     """Probe the accelerator with the tiniest possible program, in a
     hard-killed subprocess.
@@ -421,6 +466,14 @@ def _measure(
     baseline = cpu.get("cpu_1t") or None
     import jax
 
+    # roofline context: measured VPU u32 ALU ceiling on THIS backend, and
+    # the sketch stage's share of it at the documented ops/kmer cost
+    try:
+        ceiling = vpu_ops_ceiling()
+        pct_sol = 100.0 * tpu_rate * _SKETCH_OPS_PER_KMER / ceiling
+    except Exception:
+        ceiling = pct_sol = None
+
     result = {
         "metric": "sketch_kmers_per_second",
         "value": tpu_rate,
@@ -433,6 +486,9 @@ def _measure(
             "cpu_mt_kmers_per_s": cpu.get("cpu_mt"),
             "n_sequences": len(seqs),
             "backend": f"{jax.default_backend()} ({backend})",
+            "vpu_u32_ops_per_s": ceiling,
+            "sketch_ops_per_kmer": _SKETCH_OPS_PER_KMER,
+            "pct_of_vpu_speed_of_light": pct_sol,
         },
     }
 

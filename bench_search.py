@@ -223,7 +223,7 @@ def measure_search_sparse(
     import jax
     import jax.numpy as jnp
 
-    from kmerseek_tpu.ops.inverted import build_inverted_np, device_postings
+    from kmerseek_tpu.ops.inverted import build_inverted, device_postings
     from kmerseek_tpu.ops.sparse_search import sparse_search
     from kmerseek_tpu.utils.hostmem import prefault_arena
 
@@ -252,9 +252,12 @@ def measure_search_sparse(
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     host_prep_s = time.perf_counter() - t0
 
+    # engine-dispatching build: on an accelerator backend this is the
+    # device-side lax.sort build (postings stay HBM-resident, no upload)
     t0 = time.perf_counter()
-    inv = build_inverted_np(mins, np.ones(len(mins), np.int64), offsets)
+    inv = build_inverted(mins, np.ones(len(mins), np.int64), offsets)
     build_s = time.perf_counter() - t0
+    build_engine = "device" if hasattr(inv, "g4_dev") else "host"
 
     class _Idx:
         inverted = inv
@@ -287,6 +290,9 @@ def measure_search_sparse(
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
 
+    # cold = everything a fresh process pays for query block #1 (build +
+    # upload + compile + first search); warm = steady-state per block
+    cold_s = build_s + upload_s + compile_s
     return {
         "metric": "sparse_search_queries_per_second",
         "value": queries / best,
@@ -300,8 +306,11 @@ def measure_search_sparse(
             "hit_pairs": int(hits.n_hits),
             "host_prep_s": host_prep_s,
             "inverted_build_s": build_s,
+            "inverted_build_engine": build_engine,
             "upload_s": upload_s,
             "compile_s": compile_s,
+            "cold_queries_per_second": queries / cold_s,
+            "warm_queries_per_second": queries / best,
             "backend": f"{jax.default_backend()} ({backend_label})",
         },
     }
