@@ -13,10 +13,13 @@ Record ownership is **round-robin by record ordinal** everywhere
 contiguous ranges would need a wasted first pass, and round-robin
 additionally load-balances length-skewed proteomes for free.
 
-Multi-chip/multi-process hardware is not reachable from this
-environment, so the exchange is validated structurally: the pack/merge
-steps are pure functions tested by simulating several hosts' payloads,
-and `__graft_entry__.dryrun_multichip` pushes a real fixture through
+Multi-chip hardware is not reachable from this environment, but the
+exchange IS executed for real: ``tests/test_multihost_real.py`` forms
+an actual 2-process ``jax.distributed`` group over localhost
+(Gloo-backed CPU collectives) and asserts the merged index is
+bit-equal to a single-host build. The pack/merge steps are additionally
+pure functions tested by simulating several hosts' payloads, and
+`__graft_entry__.dryrun_multichip` pushes a real fixture through
 `build_distributed` + the sharded search path on a virtual mesh.
 """
 
@@ -160,7 +163,13 @@ def _allgather_payloads(local: dict) -> List[dict]:
     """Exchange packed shards across the process group.
 
     Variable-length arrays are moved with one size-allgather followed by
-    per-field padded allgathers (jax.experimental.multihost_utils)."""
+    per-field padded allgathers (jax.experimental.multihost_utils).
+
+    Fields transit as raw **byte views**: the group usually runs with
+    x64 disabled, where ``process_allgather`` would silently truncate
+    u64 hash / i64 offset arrays to 32 bits (caught by the real
+    2-process group test, tests/test_multihost_real.py) — a uint8
+    transport is wraparound-proof for every field dtype."""
     import jax
 
     if jax.process_count() == 1:
@@ -168,16 +177,20 @@ def _allgather_payloads(local: dict) -> List[dict]:
     from jax.experimental import multihost_utils as mhu
 
     keys = sorted(local)
-    sizes = np.asarray([len(local[k]) for k in keys], np.int64)
+    byte_views = {k: np.ascontiguousarray(local[k]).view(np.uint8) for k in keys}
+    sizes = np.asarray([len(byte_views[k]) for k in keys], np.int32)
     all_sizes = np.asarray(mhu.process_allgather(sizes))  # (P, K)
     payloads: List[dict] = [dict() for _ in range(all_sizes.shape[0])]
     for ki, k in enumerate(keys):
-        width = int(all_sizes[:, ki].max())
-        padded = np.zeros(width, local[k].dtype)
-        padded[: len(local[k])] = local[k]
+        width = max(int(all_sizes[:, ki].max()), 1)
+        padded = np.zeros(width, np.uint8)
+        padded[: len(byte_views[k])] = byte_views[k]
         gathered = np.asarray(mhu.process_allgather(padded))  # (P, width)
         for pi in range(all_sizes.shape[0]):
-            payloads[pi][k] = gathered[pi, : int(all_sizes[pi, ki])]
+            n = int(all_sizes[pi, ki])
+            payloads[pi][k] = (
+                np.ascontiguousarray(gathered[pi, :n]).view(local[k].dtype)
+            )
     return payloads
 
 
