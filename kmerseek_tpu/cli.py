@@ -200,12 +200,16 @@ def search(
         write_search_csv(rows, MANYSEARCH_COLUMNS, sourmash_search_csv)
 
     if extract_kmers:
-        from .core.stitch import stitch_results, stitched_to_csv
+        from .core.stitch import stitch_results_streaming, stitched_to_csv
 
-        stitched, report = stitch_results(
+        # streams both sidecar parquets through a name + hash-join
+        # filter (reference: polars LazyFrame scan, search.py:179-181)
+        # — memory stays bounded at UniProt-scale sidecars; output is
+        # byte-identical to the eager join
+        stitched, report = stitch_results_streaming(
             rows,
-            query.kmers_dataframe,
-            target.kmers_dataframe,
+            query.kmers_pq,
+            target.kmers_pq,
             group_by_pair=stitch_per_query,
         )
         click.echo(report, err=True)

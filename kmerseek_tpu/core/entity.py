@@ -21,9 +21,8 @@ from ..utils.logging import logger
 from .index import IndexConfig, ProteomeIndex
 from .kmers import (
     kmer_table_filename,
-    kmer_table_for_index,
     read_kmer_table,
-    write_kmer_table,
+    write_kmer_table_for_index,
 )
 
 
@@ -137,8 +136,10 @@ class KmerseekEntity:
             if self.force or not os.path.exists(pq_path):
                 if os.path.exists(pq_path):
                     logger.info("Found %s file, but re-making with '--force'", pq_path)
-                table = kmer_table_for_index(self.index)
-                write_kmer_table(table, pq_path)
+                # row-group streaming write: peak memory is one
+                # sequence batch, not the full sidecar (entity.py:49-59
+                # lazy semantics at UniProt scale)
+                write_kmer_table_for_index(self.index, pq_path)
             else:
                 logger.info(
                     "Found k-mer parquet %s, skipping! Re-make with '--force'",

@@ -48,7 +48,7 @@ def kmer_table_filename(sig_path: str) -> str:
     return f"{sig_path}.kmers.pq"
 
 
-def extract_kmer_table(
+def iter_kmer_batches(
     names: Sequence[str],
     resolved_seqs: Sequence[bytes],
     *,
@@ -57,8 +57,14 @@ def extract_kmer_table(
     moltype: str,
     sequence_file: str,
     batch_rows: int = 512,
-) -> pa.Table:
-    """Build the k-mer table for already-validated sequences."""
+):
+    """Yield the k-mer table in ``batch_rows``-sequence pa.Table chunks.
+
+    Generator form of :func:`extract_kmer_table` so huge sidecars
+    (UniProt-scale ``--extract-kmers``) can stream to parquet row
+    groups without ever materializing the full table — the reference
+    gets the same memory bound from polars LazyFrames
+    (entity.py:61-71)."""
     import functools
 
     import jax
@@ -85,7 +91,6 @@ def extract_kmer_table(
 
     from numpy.lib.stride_tricks import sliding_window_view
 
-    chunks: List[pa.Table] = []
     for lo in range(0, len(names), batch_rows):
         chunk_names = names[lo : lo + batch_rows]
         chunk_seqs = resolved_seqs[lo : lo + batch_rows]
@@ -117,30 +122,42 @@ def extract_kmer_table(
             .astype(f"U{ksize}")
         )
         name_col = np.asarray(chunk_names, dtype=object)[rows]
-        chunks.append(
-            pa.Table.from_arrays(
-                [
-                    pa.array(
-                        np.full(len(rows), sequence_file, object),
-                        pa.large_string(),
-                    ),
-                    pa.array(name_col, pa.large_string()),
-                    pa.array(kmers, pa.large_string()),
-                    pa.array(h64[rows, starts], pa.uint64()),
-                    pa.array(encs, pa.large_string()),
-                    pa.array(starts.astype(np.uint32), pa.uint32()),
-                ],
-                schema=KMERS_SCHEMA,
-            )
+        yield pa.Table.from_arrays(
+            [
+                pa.array(
+                    np.full(len(rows), sequence_file, object),
+                    pa.large_string(),
+                ),
+                pa.array(name_col, pa.large_string()),
+                pa.array(kmers, pa.large_string()),
+                pa.array(h64[rows, starts], pa.uint64()),
+                pa.array(encs, pa.large_string()),
+                pa.array(starts.astype(np.uint32), pa.uint32()),
+            ],
+            schema=KMERS_SCHEMA,
         )
 
+
+def extract_kmer_table(
+    names: Sequence[str],
+    resolved_seqs: Sequence[bytes],
+    **kw,
+) -> pa.Table:
+    """Build the k-mer table for already-validated sequences (eager)."""
+    chunks: List[pa.Table] = list(iter_kmer_batches(names, resolved_seqs, **kw))
     if not chunks:
         return KMERS_SCHEMA.empty_table()
     return pa.concat_tables(chunks)
 
 
+# parquet row-group size (rows). Bounds the unit the streaming reader
+# (core.stitch join) must hold in memory at once: 2^18 rows of this
+# schema ≈ 20-30 MB decoded.
+KMERS_ROW_GROUP = 1 << 18
+
+
 def write_kmer_table(table: pa.Table, path: str) -> str:
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=KMERS_ROW_GROUP)
     return path
 
 
@@ -148,12 +165,10 @@ def read_kmer_table(path: str) -> pa.Table:
     return pq.read_table(path)
 
 
-def kmer_table_for_index(index, sequence_file: Optional[str] = None) -> pa.Table:
-    """Extract the table for a built ProteomeIndex.
-
-    Uses stored raw sequences when present; otherwise re-reads the
-    source FASTA (mirroring the reference, which re-kmerizes from the
-    saved sequences, sig2kmer.py:186-219)."""
+def _resolved_sequences_for_index(index):
+    """Stored raw sequences, or re-read + validate the source FASTA
+    (mirroring the reference, which re-kmerizes from saved sequences,
+    sig2kmer.py:186-219)."""
     sequences = index.sequences
     if sequences is None:
         if not index.source_fasta or not os.path.exists(index.source_fasta):
@@ -169,11 +184,50 @@ def kmer_table_for_index(index, sequence_file: Optional[str] = None) -> pa.Table
         sequences = validate_resolve_batch(
             [by_name[n] for n in index.names], index.names
         )
+    return sequences
+
+
+def kmer_table_for_index(index, sequence_file: Optional[str] = None) -> pa.Table:
+    """Extract the table for a built ProteomeIndex (eager)."""
     return extract_kmer_table(
         index.names,
-        sequences,
+        _resolved_sequences_for_index(index),
         ksize=index.config.ksize,
         scaled=index.config.scaled,
         moltype=index.config.moltype,
         sequence_file=sequence_file or os.path.abspath(index.source_fasta),
     )
+
+
+def write_kmer_table_for_index(
+    index, path: str, sequence_file: Optional[str] = None
+) -> str:
+    """Stream the index's k-mer table straight to ``path`` one row
+    group per sequence batch — peak memory is one batch, not the table
+    (the reference's LazyFrame-shaped write, entity.py:49-59). Bytes on
+    disk decode identically to ``write_kmer_table(kmer_table_for_index(
+    index), path)`` (pinned by tests/test_entity.py)."""
+    batches = iter_kmer_batches(
+        index.names,
+        _resolved_sequences_for_index(index),
+        ksize=index.config.ksize,
+        scaled=index.config.scaled,
+        moltype=index.config.moltype,
+        sequence_file=sequence_file or os.path.abspath(index.source_fasta),
+    )
+    with pq.ParquetWriter(path, KMERS_SCHEMA) as writer:
+        pending: List[pa.Table] = []
+        n_pending = 0
+        for chunk in batches:
+            pending.append(chunk)
+            n_pending += len(chunk)
+            if n_pending >= KMERS_ROW_GROUP:
+                writer.write_table(
+                    pa.concat_tables(pending), row_group_size=KMERS_ROW_GROUP
+                )
+                pending, n_pending = [], 0
+        if pending:
+            writer.write_table(
+                pa.concat_tables(pending), row_group_size=KMERS_ROW_GROUP
+            )
+    return path

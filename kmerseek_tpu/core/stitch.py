@@ -236,6 +236,87 @@ def stitch_results(
     return stitched[STITCH_COLUMNS].reset_index(drop=True), report
 
 
+def _scan_kmer_parquet(
+    path: str,
+    names: set,
+    hash_filter=None,
+    batch_rows: int = 1 << 16,
+) -> pd.DataFrame:
+    """Stream a k-mer sidecar parquet and keep only rows that can
+    survive the stitch joins: ``sequence_name ∈ names`` and (when
+    given) ``hashval ∈ hash_filter`` (a SORTED uint64 array).
+
+    This is the reference's LazyFrame predicate pushdown
+    (search.py:179-181, entity.py:61-71) done by hand: peak memory is
+    one parquet row group + the surviving rows, so a 10^8-row target
+    sidecar streams through instead of materializing. The hash probe is
+    a searchsorted membership test against the (small) query-side hash
+    set — the same sorted-array join the posting machinery uses.
+
+    Row order of the survivors is the file's row order, so downstream
+    pandas merges see exactly the rows the eager path's merges would
+    keep, in the same order — output stays byte-identical."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    kept = []
+    for batch in pf.iter_batches(batch_size=batch_rows):
+        name_col = batch.column("sequence_name").to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (n in names for n in name_col), count=len(name_col), dtype=bool
+        )
+        if hash_filter is not None and mask.any():
+            if len(hash_filter) == 0:
+                mask[:] = False
+            else:
+                hv = batch.column("hashval").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(hash_filter, hv)
+                pos[pos == len(hash_filter)] = 0
+                mask &= hash_filter[pos] == hv
+        if mask.any():
+            kept.append(batch.to_pandas().loc[mask])
+    if not kept:
+        cols = [
+            "sequence_file",
+            "sequence_name",
+            "kmer",
+            "hashval",
+            "encoded",
+            "start",
+        ]
+        return pd.DataFrame(columns=cols)
+    return pd.concat(kept, ignore_index=True)
+
+
+def stitch_results_streaming(
+    search_rows: Sequence[Dict],
+    query_kmers_pq: str,
+    target_kmers_pq: str,
+    group_by_pair: bool = False,
+    batch_rows: int = 1 << 16,
+) -> Tuple[pd.DataFrame, str]:
+    """Memory-bounded :func:`stitch_results` over on-disk sidecars.
+
+    The query sidecar streams first, filtered to the query names that
+    actually matched; its distinct hashes (sorted, deduped) become the
+    hash-join probe set for the target sidecar scan. Rows that the
+    eager path's inner joins would drop never reach pandas, so memory
+    is O(query-side rows + true join rows), independent of the target
+    sidecar size. Output is byte-identical to the eager path (pinned
+    by tests/test_entity.py::test_stitch_streaming_byte_equal)."""
+    import numpy as np
+
+    query_names = {r["query_name"] for r in search_rows}
+    match_names = {r["match_name"] for r in search_rows}
+    q = _scan_kmer_parquet(query_kmers_pq, query_names, batch_rows=batch_rows)
+    q_hashes = np.unique(q["hashval"].to_numpy(dtype=np.uint64, copy=False))
+    t = _scan_kmer_parquet(
+        target_kmers_pq, match_names, hash_filter=q_hashes, batch_rows=batch_rows
+    )
+    return stitch_results(search_rows, q, t, group_by_pair=group_by_pair)
+
+
 def stitched_to_csv(stitched: pd.DataFrame) -> str:
     """10-column CSV, reference column order (search.py:249-263)."""
     import csv as _csv

@@ -254,3 +254,78 @@ def test_stitch_group_by_pair_separates_queries():
     assert len(per_pair) == 2
     assert set(per_pair["query_name"]) == {"QA", "QB"}
     assert per_pair["length"].tolist() == [5, 5]
+
+
+def test_streaming_kmer_writer_identical(local_fasta, tmp_path, monkeypatch):
+    """write_kmer_table_for_index streams row groups; decoded contents
+    must equal the eager table, even when a tiny row-group size forces
+    many groups (the memory-bounded path at UniProt scale)."""
+    import pyarrow.parquet as pq
+
+    from kmerseek_tpu.core import kmers as kmers_mod
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+
+    idx = ProteomeIndex.build(
+        local_fasta,
+        IndexConfig(ksize=5, scaled=1, moltype="hp"),
+        store_raw_sequences=True,
+    )
+    eager = kmers_mod.kmer_table_for_index(idx)
+    p_eager = str(tmp_path / "eager.pq")
+    kmers_mod.write_kmer_table(eager, p_eager)
+
+    monkeypatch.setattr(kmers_mod, "KMERS_ROW_GROUP", 4)
+    p_stream = str(tmp_path / "stream.pq")
+    kmers_mod.write_kmer_table_for_index(idx, p_stream)
+
+    t_stream = pq.read_table(p_stream)
+    assert t_stream.num_rows == eager.num_rows == 24
+    assert t_stream.to_pandas().equals(eager.to_pandas())
+    # tiny row groups really were flushed incrementally (batch_rows=512
+    # sequences -> one iter chunk here, split into 4-row groups)
+    assert pq.ParquetFile(p_stream).num_row_groups >= 2
+
+
+def test_stitch_streaming_byte_equal(ced9, bcl2_first25, tmp_path, monkeypatch):
+    """The streaming hash-join stitch (parquet scan + name/hash filters)
+    must reproduce the eager pandas-join stitch byte-for-byte on the
+    golden ced9-vs-bcl2 corpus, including with row groups small enough
+    that the target sidecar spans many scan batches."""
+    import shutil
+
+    from kmerseek_tpu.core import kmers as kmers_mod
+    from kmerseek_tpu.core.search import manysearch
+    from kmerseek_tpu.core.stitch import (
+        stitch_results,
+        stitch_results_streaming,
+        stitched_to_csv,
+    )
+
+    q_fa = str(tmp_path / os.path.basename(ced9))
+    t_fa = str(tmp_path / os.path.basename(bcl2_first25))
+    shutil.copy(ced9, q_fa)
+    shutil.copy(bcl2_first25, t_fa)
+
+    monkeypatch.setattr(kmers_mod, "KMERS_ROW_GROUP", 128)
+    query = KmerseekQuery(q_fa, moltype="hp", ksize=16, scaled=5, extract_kmers=True)
+    target = KmerseekIndex(t_fa, moltype="hp", ksize=16, scaled=5, extract_kmers=True)
+    rows = manysearch(query.index, target.index)
+
+    eager_df, eager_rep = stitch_results(
+        rows, query.kmers_dataframe, target.kmers_dataframe
+    )
+    stream_df, stream_rep = stitch_results_streaming(
+        rows, query.kmers_pq, target.kmers_pq, batch_rows=64
+    )
+    assert stitched_to_csv(stream_df) == stitched_to_csv(eager_df)
+    assert stream_rep == eager_rep
+    assert len(eager_df) == 5  # the golden five stitched segments
+
+    # group_by_pair opt-out flows through the streaming path too
+    e2, _ = stitch_results(
+        rows, query.kmers_dataframe, target.kmers_dataframe, group_by_pair=True
+    )
+    s2, _ = stitch_results_streaming(
+        rows, query.kmers_pq, target.kmers_pq, group_by_pair=True, batch_rows=64
+    )
+    assert stitched_to_csv(s2) == stitched_to_csv(e2)

@@ -537,3 +537,73 @@ def test_emission_order_with_duplicate_names():
     assert rows
     emitted = [(r["query_name"], r["match_name"]) for r in rows]
     assert emitted == sorted(emitted)
+
+
+def test_prob_overlap_discriminating_corpus(tmp_path):
+    """Pin prob_overlap/tf_idf weighting semantics on a corpus that can
+    actually tell them apart (round-2 verdict, missing #3).
+
+    The reference fixture (ced9-bcl2-first25.hp.k16.manysearch.csv) has
+    df == summed-abundance for every intersecting hash, so it cannot
+    distinguish the documented abundance-weighted prob_overlap from a
+    df-weighted reading (core/search.py:16-27). Here hash('AAAAA')
+    occurs twice in T1 and once in T2: df = 2 targets but summed
+    db abundance = 3 — the interpretations provably diverge, and the
+    production output is pinned to the documented one:
+
+      prob_overlap  = Σ q_tf(h) · db_ab(h)/Σ_db ab   (abundance)
+      tf_idf_score  = Σ q_tf(h) · (1 + ln((1+N)/(1+df(h))))  (df)
+    """
+    import math
+
+    q_fa = tmp_path / "q.fasta"
+    q_fa.write_text(">Q1\nAAAAA\n")
+    t_fa = tmp_path / "t.fasta"
+    # T1 windows: AAAAA@0, AAAAC, AAACA, AACAA, ACAAA, CAAAA, AAAAA@6
+    t_fa.write_text(">T1\nAAAAACAAAAA\n>T2\nAAAAA\n")
+    cfg = IndexConfig(ksize=5, scaled=1, moltype="protein")
+    query = ProteomeIndex.build(str(q_fa), cfg)
+    target = ProteomeIndex.build(str(t_fa), cfg)
+
+    # structural preconditions: the corpus is discriminating
+    import numpy as np
+
+    h = query.mins[0]  # hash('AAAAA'), the only query hash
+    t_ab = {}
+    for i in range(len(target)):
+        lo, hi = target.offsets[i], target.offsets[i + 1]
+        m = target.mins[lo:hi] == h
+        if m.any():
+            t_ab[target.names[i]] = int(target.abundances[lo:hi][m].sum())
+    assert t_ab == {"T1": 2, "T2": 1}  # df=2 targets, db_ab=3
+
+    rows = multisearch(query, target)
+    by = {r["match_name"]: r for r in rows}
+    assert set(by) == {"T1", "T2"}
+
+    # Σ_db ab = 7 (T1: 6 distinct hashes, AAAAA twice) + 1 (T2) = 8
+    prob_ab_weighted = 3.0 / 8.0
+    # df-weighted alternative: df(h)/Σ_h df(h) = 2/7
+    prob_df_weighted = 2.0 / 7.0
+    assert abs(prob_ab_weighted - prob_df_weighted) > 1e-3
+    for name in ("T1", "T2"):
+        assert by[name]["prob_overlap"] == pytest.approx(
+            prob_ab_weighted, abs=1e-15
+        )
+        # 1 query × 2 targets
+        assert by[name]["prob_overlap_adjusted"] == pytest.approx(
+            prob_ab_weighted * 2, abs=1e-15
+        )
+    assert by["T1"]["containment_adjusted"] == pytest.approx(
+        1.0 / (prob_ab_weighted * 2), abs=1e-14
+    )
+
+    # tf_idf: df-based idf = 1 + ln((1+2)/(1+2)) = 1 exactly; an
+    # abundance-based idf would be 1 + ln(3/4) ≈ 0.712 — distinguishable
+    tfidf_df_based = 1.0
+    tfidf_ab_based = 1.0 + math.log((1 + 2) / (1 + 3))
+    assert abs(tfidf_df_based - tfidf_ab_based) > 1e-3
+    for name in ("T1", "T2"):
+        assert by[name]["tf_idf_score"] == pytest.approx(
+            tfidf_df_based, abs=1e-15
+        )
