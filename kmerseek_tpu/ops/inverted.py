@@ -245,9 +245,9 @@ def build_inverted_np(mins: np.ndarray, abundances: np.ndarray, offsets: np.ndar
 def _device_build_sorted(hi, lo, tid, ab):
     """Traced body of the device inverted build.
 
-    One stable 2-key ``lax.sort`` orders the postings globally by
-    (hi, lo) hash — equal hashes keep their concatenation order, i.e.
-    target-id ascending, exactly like the host build's stable argsort —
+    One 3-key ``lax.sort`` orders the postings globally by (hi, lo)
+    hash with tid as the tie-break — equal hashes come out target-id
+    ascending, exactly like the host build's stable argsort —
     then everything the probe kernels need falls out of elementwise +
     cumulative ops: the packed (N, 4) layout, the longest equal-hash
     run (iota minus a cummax of run-start positions), and the top-bits
@@ -257,7 +257,12 @@ def _device_build_sorted(hi, lo, tid, ab):
     operand memory is reused instead of doubling peak HBM.
     """
     n = hi.shape[0]
-    sh, sl, st, sa = jax.lax.sort((hi, lo, tid, ab), num_keys=2, is_stable=True)
+    # 3-key UNSTABLE sort ≡ the host build's stable-by-hash argsort:
+    # (hash, tid) pairs are unique (one posting per target per hash) and
+    # the concatenation order is tid-ascending, so breaking hash ties by
+    # tid reproduces the stable order exactly — while letting XLA use
+    # the cheaper non-stable comparator network.
+    sh, sl, st, sa = jax.lax.sort((hi, lo, tid, ab), num_keys=3, is_stable=False)
     g4 = jnp.stack(
         [sh, sl, st.astype(jnp.uint32), sa.astype(jnp.uint32)], axis=1
     )

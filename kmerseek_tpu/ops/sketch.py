@@ -130,7 +130,9 @@ def _compact_row(h_hi, h_lo, keep, capacity: int):
     scaled > 1, and for scaled = 1 a colliding real hash has
     probability 2^-64 per k-mer (documented, ignored)."""
     c_hi, c_lo, n = _compact_valid_row(h_hi, h_lo, keep, capacity)
-    s_hi, s_lo = jax.lax.sort((c_hi, c_lo), num_keys=2)
+    # both operands are keys → an unstable sort is value-identical and
+    # measurably cheaper (stable is lax.sort's default)
+    s_hi, s_lo = jax.lax.sort((c_hi, c_lo), num_keys=2, is_stable=False)
     return _dedup_sorted_row(s_hi, s_lo, n, capacity)
 
 
@@ -201,6 +203,39 @@ def _presort_compact_keys(key_hi, key_lo, n_kept, capacity: int):
     return c_hi, c_lo
 
 
+def _sort_keys_64(key_hi, key_lo):
+    """Row-sort (hi, lo) u32 pairs by their 64-bit value — fast path.
+
+    The obvious formulation is one 2-key lexicographic ``lax.sort``; on
+    the v5e that comparator is the single biggest term of the sketch
+    stage. Measured on-chip (bench_exp_sort.py, corpus shapes, hp/k24/
+    scaled5): stable 2-key ~1.1-1.3G kmers/s through the sort, unstable
+    2-key ~1.7G, unstable SINGLE-key (hi as key, lo as payload) ~2.4G.
+    So the fast path sorts by ``hi`` alone and *detects* the one case
+    where that is not enough: an adjacent pair with equal hi but
+    different lo. Absent such a pair, every equal-hi run is a single
+    duplicate value (all-equal lo), i.e. the row is already in exact
+    64-bit order with duplicates adjacent. When a tie IS present
+    (P ≈ kept²/2^33 per row — ~1% of 2048-row batches at these shapes;
+    also fires on a real hi of 2^32-1 colliding with the sentinel under
+    scaled=1), a scalar ``lax.cond`` re-sorts the whole batch with the
+    exact 2-key comparator — bit-equal output either way, and the
+    double-sort cost is paid only on flagged batches.
+
+    Stability is irrelevant throughout: equal (hi, lo) entries are
+    indistinguishable duplicates (no payload beyond lo itself).
+    """
+    s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=1, is_stable=False)
+    tie = jnp.any(
+        (s_hi[..., 1:] == s_hi[..., :-1]) & (s_lo[..., 1:] != s_lo[..., :-1])
+    )
+    return jax.lax.cond(
+        tie,
+        lambda: jax.lax.sort((key_hi, key_lo), num_keys=2, is_stable=False),
+        lambda: (s_hi, s_lo),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -256,7 +291,7 @@ def sorted_window_hashes(
     W = key_hi.shape[-1]
     if presort_compact and scaled > 1 and capacity < W:
         key_hi, key_lo = _presort_compact_keys(key_hi, key_lo, n_kept, capacity)
-    s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2, dimension=-1)
+    s_hi, s_lo = _sort_keys_64(key_hi, key_lo)
     W = s_hi.shape[-1]
     if W < capacity:  # short-sequence bucket: pad out to the full slot count
         padw = ((0, 0), (0, capacity - W))

@@ -178,8 +178,10 @@ def _sparse_hits_core(
         q_key = jnp.where(valid_t, probe // jnp.int32(S), jnp.int32(Q))
         w = jnp.where(valid_t, row[:, 3].astype(jnp.int32), 0)
 
-    # one lexicographic sort groups equal (q, t) pairs contiguously
-    sq, st, sw = jax.lax.sort((q_key, t, w), num_keys=2)
+    # one lexicographic sort groups equal (q, t) pairs contiguously.
+    # unstable: within-segment order of w is irrelevant (everything
+    # downstream is a permutation-invariant segment sum)
+    sq, st, sw = jax.lax.sort((q_key, t, w), num_keys=2, is_stable=False)
     valid = sq < Q
     prev_q = jnp.concatenate([jnp.full((1,), -1, sq.dtype), sq[:-1]])
     prev_t = jnp.concatenate([jnp.full((1,), -1, st.dtype), st[:-1]])

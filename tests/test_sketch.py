@@ -168,3 +168,38 @@ def test_presort_compact_bit_equal(bcl2_first25):
         )
         for a, b in zip(base, fast):
             assert np.array_equal(np.asarray(a), np.asarray(b)), (moltype, k)
+
+
+def test_sort_keys_64_tie_fallback():
+    """_sort_keys_64's fast path sorts by hi alone; rows containing
+    equal-hi/different-lo pairs must flag the scalar tie cond and come
+    out in exact 64-bit order anyway (bit-equal to the 2-key sort)."""
+    import jax
+
+    from kmerseek_tpu.ops.sketch import _sort_keys_64
+
+    rng = np.random.default_rng(7)
+    B, W = 16, 256
+    # dense hi space (0..3) → plenty of equal-hi ties with distinct lo
+    hi = rng.integers(0, 4, size=(B, W)).astype(np.uint32)
+    lo = rng.integers(0, 2**32, size=(B, W), dtype=np.uint64).astype(np.uint32)
+    # sprinkle true duplicates and sentinel slots
+    hi[:, -8:] = 0xFFFFFFFF
+    lo[:, -8:] = 0xFFFFFFFF
+    hi[:, 10] = hi[:, 11]
+    lo[:, 10] = lo[:, 11]
+    got_hi, got_lo = jax.jit(_sort_keys_64)(jnp.asarray(hi), jnp.asarray(lo))
+    want_hi, want_lo = jax.jit(
+        lambda a, b: jax.lax.sort((a, b), num_keys=2)
+    )(jnp.asarray(hi), jnp.asarray(lo))
+    assert np.array_equal(np.asarray(got_hi), np.asarray(want_hi))
+    assert np.array_equal(np.asarray(got_lo), np.asarray(want_lo))
+
+    # tie-free input must take the fast path and still be exact
+    hi2 = rng.permutation(np.arange(B * W, dtype=np.uint32)).reshape(B, W)
+    got_hi, got_lo = jax.jit(_sort_keys_64)(jnp.asarray(hi2), jnp.asarray(lo))
+    want_hi, want_lo = jax.jit(
+        lambda a, b: jax.lax.sort((a, b), num_keys=2)
+    )(jnp.asarray(hi2), jnp.asarray(lo))
+    assert np.array_equal(np.asarray(got_hi), np.asarray(want_hi))
+    assert np.array_equal(np.asarray(got_lo), np.asarray(want_lo))
