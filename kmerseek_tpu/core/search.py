@@ -345,10 +345,11 @@ def _validate_with_device(query, target, js: _JoinSegments, weighted, sample: in
     pair's (q, t, count) compared, not sampled), and end-to-end it
     measured 31x faster than the dense engine at human-proteome scale
     (20k targets x 1024 queries) — the dense matrices' host fetch
-    dominated. Weighted sums are sampled; the device's 16-bit limb
-    accumulation (``ops.sparse_search._sparse_hits_core``) makes them
-    int64-exact, so every sampled pair is compared — no high-abundance
-    skip. Raises a descriptive error instead of a bare assert (survives
+    dominated. Weighted sums are sampled; the device weight path
+    (``ops.sparse_search._sparse_hits_core`` — one int32 scatter when
+    the corpus' max abundance proves saturation impossible, 16-bit limb
+    accumulation otherwise) is int64-exact either way, so every sampled
+    pair is compared — no high-abundance skip. Raises a descriptive error instead of a bare assert (survives
     ``python -O``).
 
     Amortization: the cross-check re-runs the full device search, so by

@@ -183,6 +183,36 @@ def clear_device_postings(inv: InvertedIndex | None = None) -> None:
 _NATIVE_SORT_MIN = 1 << 20
 
 
+# (index identity → max posting abundance) — weakref'd like the probe
+# hint caches so a retired index's arrays are never kept alive
+_MAX_AB_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
+
+
+def max_abundance(inv) -> int:
+    """Largest single posting abundance of ``inv``.
+
+    O(1) for device-built indexes (a build-time scalar); for host
+    indexes one ``ab.max()`` cached by array identity. Probe kernels
+    use it to prove a single int32 weight accumulator cannot saturate
+    (segment weight sum ≤ block_width · max_abundance) and skip the
+    two-limb accumulation."""
+    ma = getattr(inv, "max_ab", None)
+    if ma is not None:
+        return int(ma)
+    ab = inv.ab
+    ent = _MAX_AB_CACHE.get(id(ab))
+    if ent is not None and ent[0]() is ab:
+        return ent[1]
+    import weakref
+
+    v = int(ab.max(initial=0))
+    _MAX_AB_CACHE[id(ab)] = (weakref.ref(ab), v)
+    _MAX_AB_CACHE.move_to_end(id(ab))
+    while len(_MAX_AB_CACHE) > 64:
+        _MAX_AB_CACHE.popitem(last=False)
+    return v
+
+
 def _stable_argsort_u64(mins: np.ndarray) -> np.ndarray:
     """Stable argsort of the posting hashes.
 
@@ -275,6 +305,7 @@ def _device_build_sorted(hi, lo, tid, ab):
     )
     run_start = jax.lax.cummax(jnp.where(isnew, iota, 0))
     max_run = jnp.max(iota - run_start + 1)
+    max_ab = jnp.max(sa)  # lets probe kernels pick the narrow weight path
     # bucket shift anchored at the max hash's leading zeros (the scaled
     # filter empties the top log2(scaled) bits) — see with_buckets
     mh, ml = sh[-1], sl[-1]
@@ -289,7 +320,7 @@ def _device_build_sorted(hi, lo, tid, ab):
     starts = jnp.searchsorted(tops, bucket_ids, side="left").astype(jnp.int32)
     starts = jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)])
     max_span = jnp.maximum(jnp.max(jnp.diff(starts)), 1)
-    scalars = jnp.stack([max_run, max_span, shift])
+    scalars = jnp.stack([max_run, max_span, shift, max_ab])
     return g4, starts, scalars
 
 
@@ -320,13 +351,14 @@ class DeviceInvertedIndex:
         "max_run",
         "max_span",
         "bucket_shift",
+        "max_ab",
         "_host_cols",
         "_host_starts",
     )
 
     def __init__(
         self, g4_dev, bucket_starts_dev, n_targets, max_run, max_span,
-        bucket_shift,
+        bucket_shift, max_ab=None,
     ):
         self.g4_dev = g4_dev
         self.bucket_starts_dev = bucket_starts_dev
@@ -334,6 +366,8 @@ class DeviceInvertedIndex:
         self.max_run = int(max_run)
         self.max_span = int(max_span)
         self.bucket_shift = int(bucket_shift)
+        # build-time scalar so max_abundance() never forces a download
+        self.max_ab = None if max_ab is None else int(max_ab)
         self._host_cols = None
         self._host_starts = None
 
@@ -435,7 +469,9 @@ def build_inverted_dev(mins, abundances, offsets) -> DeviceInvertedIndex:
         jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(tid), jnp.asarray(ab)
     )
     s = np.asarray(scalars)
-    return DeviceInvertedIndex(g4, starts, T, int(s[0]), int(s[1]), int(s[2]))
+    return DeviceInvertedIndex(
+        g4, starts, T, int(s[0]), int(s[1]), int(s[2]), max_ab=int(s[3])
+    )
 
 
 # device builds below this posting count don't amortize their dispatch

@@ -54,6 +54,24 @@ def _combine_weight_limbs(w) -> np.ndarray:
     return w[..., 0].astype(np.int64) + (w[..., 1].astype(np.int64) << 16)
 
 
+def _weights_int64(w, wide: bool) -> np.ndarray:
+    """Kernel weight buffer → exact int64 sums for either tail layout."""
+    return _combine_weight_limbs(w) if wide else np.asarray(w).astype(np.int64)
+
+
+def _wide_weights_needed(inv, S: int) -> bool:
+    """True when a single int32 weight accumulator could saturate.
+
+    A (q, t) segment holds at most one tuple per query-hash slot (≤ S),
+    each weighted by a posting abundance ≤ max_abundance(inv), so the
+    narrow path is exact whenever S · max_ab < 2^31 — every realistic
+    corpus (the two-limb path costs one extra full-length scatter-add
+    in the kernel tail, measured ~8% of the UniProt-scale search)."""
+    from .inverted import max_abundance
+
+    return S * max(max_abundance(inv), 1) >= 2**31
+
+
 class SparseHits(NamedTuple):
     """Host-side trimmed hit list."""
 
@@ -78,6 +96,7 @@ def _sparse_hits_core(
     bucket_shift: int,
     run_offset,
     expand_e: int | None = None,
+    wide_weights: bool = True,
 ):
     """Traced body shared by the single-block and scan-chunked kernels.
 
@@ -193,17 +212,21 @@ def _sparse_hits_core(
     counts = jnp.zeros(capacity, jnp.int32).at[slot].add(
         valid.astype(jnp.int32), mode="drop"
     )
-    # 64-bit-exact weighted sums from two 16-bit limb accumulators: a
-    # segment holds ≤ S tuples (one per query-hash slot), so the limb
-    # sums stay ≤ S·2^16 < 2^31 for any realistic block width while the
-    # COMBINED value (host: lo + (hi << 16), int64) is exact up to
-    # S·2^31 — no int32 saturation on high-abundance corpora. The limbs
-    # are split AFTER the sort (sw is an operand either way), so the
-    # only extra device cost is one more bounded scatter-add.
+    # 64-bit-exact weighted sums. Wide path: two 16-bit limb
+    # accumulators — a segment holds ≤ S tuples (one per query-hash
+    # slot), so the limb sums stay ≤ S·2^16 < 2^31 for any realistic
+    # block width while the COMBINED value (host: lo + (hi << 16),
+    # int64) is exact up to S·2^31 — no int32 saturation on
+    # high-abundance corpora. Narrow path (callers prove
+    # S · max_abundance < 2^31 via ``_wide_weights_needed``): one int32
+    # scatter-add, saving a full-length scatter in the kernel tail.
     wv = jnp.where(valid, sw, 0)
-    weights = jnp.zeros((capacity, 2), jnp.int32)
-    weights = weights.at[slot, 0].add(wv & jnp.int32(0xFFFF), mode="drop")
-    weights = weights.at[slot, 1].add(wv >> jnp.int32(16), mode="drop")
+    if wide_weights:
+        weights = jnp.zeros((capacity, 2), jnp.int32)
+        weights = weights.at[slot, 0].add(wv & jnp.int32(0xFFFF), mode="drop")
+        weights = weights.at[slot, 1].add(wv >> jnp.int32(16), mode="drop")
+    else:
+        weights = jnp.zeros(capacity, jnp.int32).at[slot].add(wv, mode="drop")
     head_slot = jnp.where(head, seg, capacity)
     q_out = jnp.full(capacity, Q, jnp.int32).at[head_slot].set(sq, mode="drop")
     t_out = jnp.full(capacity, n_targets, jnp.int32).at[head_slot].set(
@@ -217,7 +240,7 @@ def _sparse_hits_core(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e",
+        "expand_e", "wide_weights",
     ),
 )
 def inverted_sparse_hits(
@@ -234,6 +257,7 @@ def inverted_sparse_hits(
     bucket_shift: int = 48,
     run_offset=0,
     expand_e: int | None = None,
+    wide_weights: bool = True,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
@@ -246,7 +270,9 @@ def inverted_sparse_hits(
     order; slots beyond the hit count hold q = Q sentinels.
     ``weight_limbs`` is (capacity, 2) int32 — 16-bit lo/hi limb sums
     whose host combination (``_combine_weight_limbs``) is the exact
-    int64 weighted sum (no int32 saturation at high abundance).
+    int64 weighted sum (no int32 saturation at high abundance) — or,
+    with ``wide_weights=False`` (callers prove saturation impossible
+    via ``_wide_weights_needed``), a plain (capacity,) int32 sum.
 
     ``run_offset`` shifts the probe window within each posting run:
     the kernel examines run elements [run_offset, run_offset+max_run).
@@ -269,6 +295,7 @@ def inverted_sparse_hits(
         bucket_shift=bucket_shift,
         run_offset=run_offset,
         expand_e=expand_e,
+        wide_weights=wide_weights,
     )
 
 
@@ -276,7 +303,7 @@ def inverted_sparse_hits(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e",
+        "expand_e", "wide_weights",
     ),
 )
 def inverted_sparse_hits_chunks(
@@ -293,6 +320,7 @@ def inverted_sparse_hits_chunks(
     bucket_shift: int = 48,
     run_offset=0,
     expand_e: int | None = None,
+    wide_weights: bool = True,
 ):
     """All query chunks in ONE compiled program via ``lax.scan``.
 
@@ -320,6 +348,7 @@ def inverted_sparse_hits_chunks(
             bucket_shift=bucket_shift,
             run_offset=run_offset,
             expand_e=expand_e,
+            wide_weights=wide_weights,
         )
         return carry, out
 
@@ -454,6 +483,7 @@ def _sparse_single(
     binv, g4, bucket_starts = device_postings(inv)
     Qn, Sn = int(Q), int(S)
     expand_e = _expand_budget(inv, Qn, Sn, max_run)
+    wide = _wide_weights_needed(inv, Sn)
 
     def run(cap: int, e):
         return inverted_sparse_hits(
@@ -469,6 +499,7 @@ def _sparse_single(
             bucket_shift=binv.bucket_shift,
             run_offset=run_offset,
             expand_e=e,
+            wide_weights=wide,
         )
 
     q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
@@ -508,13 +539,13 @@ def _sparse_single(
     if opt is not None and h <= hv:
         qo, to, co, wo = (np.asarray(v) for v in opt)
         return SparseHits(
-            qo[:h], to[:h], co[:h], _combine_weight_limbs(wo[:h]), n
+            qo[:h], to[:h], co[:h], _weights_int64(wo[:h], wide), n
         )
     return SparseHits(
         np.asarray(q_out[:hp])[:h],
         np.asarray(t_out[:hp])[:h],
         np.asarray(counts[:hp])[:h],
-        _combine_weight_limbs(np.asarray(weights[:hp])[:h]),
+        _weights_int64(np.asarray(weights[:hp])[:h], wide),
         n,
     )
 
@@ -572,6 +603,7 @@ def _sparse_chunks(
     cap = max(((cap + 127) // 128) * 128, 128)
     binv, g4, bucket_starts = device_postings(inv)
     expand_e = _expand_budget(inv, int(Qc), int(S), max_run)
+    wide = _wide_weights_needed(inv, int(S))
 
     def run(e):
         return inverted_sparse_hits_chunks(
@@ -587,6 +619,7 @@ def _sparse_chunks(
             bucket_shift=binv.bucket_shift,
             run_offset=run_offset,
             expand_e=e,
+            wide_weights=wide,
         )
 
     q_out, t_out, counts, weights, stats = run(expand_e)
@@ -643,7 +676,7 @@ def _sparse_chunks(
         parts.append(
             SparseHits(
                 qa[c, :h], ta[c, :h], ca[c, :h],
-                _combine_weight_limbs(wa[c, :h]), nc,
+                _weights_int64(wa[c, :h], wide), nc,
             )
         )
     return parts

@@ -269,8 +269,8 @@ def _sharded_sparse_program(mesh: Mesh, inv):
     g4 = jax.device_put(g4, NamedSharding(mesh, P(AXIS, None)))
     n_targets = inv.n_targets
 
-    @_ft.partial(jax.jit, static_argnames=("cap", "e", "mr"))
-    def run(g4, q_hi, q_lo, q_valid, off, cap: int, e, mr: int):
+    @_ft.partial(jax.jit, static_argnames=("cap", "e", "mr", "wide"))
+    def run(g4, q_hi, q_lo, q_valid, off, cap: int, e, mr: int, wide: bool = True):
         # ``off`` is traced (one compiled program covers every run-offset
         # tile); ``mr`` is the static tile width
         def local(g4, q_hi, q_lo, q_valid, off):
@@ -287,6 +287,7 @@ def _sharded_sparse_program(mesh: Mesh, inv):
                 bucket_shift=0,
                 run_offset=off,
                 expand_e=e,
+                wide_weights=wide,
             )
             return (
                 q_out[None],
@@ -354,9 +355,10 @@ def sharded_sparse_search(
     from ..ops.sparse_search import (
         _RUN_TILE,
         SparseHits,
-        _combine_weight_limbs,
         _merge_partial_hits,
         _pow2,
+        _weights_int64,
+        _wide_weights_needed,
     )
 
     n = mesh.devices.size
@@ -379,25 +381,26 @@ def sharded_sparse_search(
 
     if expand_e is not None:
         expand_e = max(128, min(_pow2(expand_e), _pow2(Q * S * tile)))
+    wide = _wide_weights_needed(inv, int(S))
 
     def run_tile(off: int, cap: int, e):
         """One offset window across every shard, with the same
         budget/capacity retries as the unsharded engine."""
         q_out, t_out, counts, weights, stats = run(
-            g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile
+            g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile, wide=wide
         )
         nm = np.asarray(stats)  # (n, 2)
         if e is not None and int(nm[:, 1].max()) > e:
             e = max(128, min(_pow2(int(nm[:, 1].max())), _pow2(Q * S * tile)))
             q_out, t_out, counts, weights, stats = run(
-                g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile
+                g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile, wide=wide
             )
             nm = np.asarray(stats)
         if int(nm[:, 0].max()) > cap:
             # rare per-shard overflow: one exact-capacity retry
             cap = ((int(nm[:, 0].max()) + 127) // 128) * 128
             q_out, t_out, counts, weights, stats = run(
-                g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile
+                g4, q_hi, q_lo, q_valid, jnp.int32(off), cap=cap, e=e, mr=tile, wide=wide
             )
             nm = np.asarray(stats)
         qa, ta, ca, wa = (
@@ -414,7 +417,7 @@ def sharded_sparse_search(
             parts.append(
                 SparseHits(
                     qs[real], ts[real], cs[real],
-                    _combine_weight_limbs(ws[real]),
+                    _weights_int64(ws[real], wide),
                     int(real.sum()),
                 )
             )

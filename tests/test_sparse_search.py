@@ -579,3 +579,59 @@ def test_weight_limbs_exact_past_int32():
 
     cols = manysearch_columns(query, target)
     assert max(cols["n_weighted_found"]) >= 2**31
+
+
+def test_narrow_weight_path_gated_and_bit_equal(monkeypatch):
+    """Low-abundance corpora take the single-scatter (narrow) weight
+    path — the gate must engage, and the hits must be bit-equal to the
+    two-limb (wide) path on the same block."""
+    import kmerseek_tpu.ops.sparse_search as sp
+    from kmerseek_tpu.ops.inverted import max_abundance
+
+    rng = np.random.default_rng(17)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=160, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(40, 20, pool, 18)
+    query = _mk_index(12, 15, pool, 19)
+    q_hi, q_lo, q_valid = _query_block(query)
+    S = q_hi.shape[1]
+
+    # the gate: abundances here are small window counts, so the narrow
+    # path must be selected ...
+    assert max_abundance(target.inverted) * S < 2**31
+    assert not sp._wide_weights_needed(target.inverted, S)
+    narrow = sparse_search(target, q_hi, q_lo, q_valid)
+
+    # ... and the wide path (forced) must agree bit-for-bit
+    monkeypatch.setattr(sp, "_wide_weights_needed", lambda inv, s: True)
+    wide = sparse_search(target, q_hi, q_lo, q_valid)
+    assert narrow.n_hits == wide.n_hits > 0
+    for a, b in zip(narrow, wide):
+        assert np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
+    assert narrow.weight.dtype == np.int64
+
+
+def test_device_build_records_max_ab():
+    """The device inverted build must carry max abundance as a build
+    scalar so the narrow-weight gate never forces a posting download."""
+    jax = pytest.importorskip("jax")
+    from kmerseek_tpu.ops.inverted import (
+        build_inverted_dev,
+        build_inverted_np,
+        max_abundance,
+    )
+
+    rng = np.random.default_rng(41)
+    mins = np.sort(rng.integers(0, 2**62, size=500, dtype=np.uint64))
+    mins = np.unique(mins)
+    ab = rng.integers(1, 1000, size=len(mins)).astype(np.int64)
+    offsets = np.array([0, len(mins) // 2, len(mins)], np.int64)
+    # per-target mins must be sorted+distinct: splitting a sorted unique
+    # array keeps both halves valid
+    dev = build_inverted_dev(mins, ab, offsets)
+    host = build_inverted_np(mins, ab, offsets)
+    assert dev.max_ab == int(ab.max()) == max_abundance(dev)
+    assert max_abundance(host) == int(ab.max())
+    # cached: second call hits the weakref cache, same value
+    assert max_abundance(host) == dev.max_ab
