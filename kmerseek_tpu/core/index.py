@@ -659,6 +659,15 @@ class ProteomeIndex:
                 np.int64,
             ),
         )
+        # learned sparse-engine hints (expansion budget E, trimmed-fetch
+        # lengths): pure warm-start for a fresh process — wrong hints
+        # are detected and retried, never wrong-results
+        from ..ops.sparse_search import export_learned_hints
+
+        hints = export_learned_hints(inv)
+        if hints.get("expand") or hints.get("hp"):
+            with open(os.path.join(path, "hints.json"), "w") as f:
+                json.dump(hints, f)
         if self.sequences is not None:
             seq_off = np.zeros(len(self.sequences) + 1, np.int64)
             for i, s in enumerate(self.sequences):
@@ -743,6 +752,15 @@ class ProteomeIndex:
             else:  # older .ksx without the bucket table: rebuild it (cheap)
                 inv = inv.with_buckets()
             idx._inverted = inv
+            hints_path = os.path.join(path, "hints.json")
+            if os.path.exists(hints_path):
+                from ..ops.sparse_search import seed_learned_hints
+
+                try:
+                    with open(hints_path) as f:
+                        seed_learned_hints(inv, json.load(f))
+                except (ValueError, OSError):
+                    pass  # hints are advisory; a bad file is ignored
         return idx
 
     # ------------------------------------------------------------------

@@ -635,3 +635,41 @@ def test_device_build_records_max_ab():
     assert max_abundance(host) == int(ab.max())
     # cached: second call hits the weakref cache, same value
     assert max_abundance(host) == dev.max_ab
+
+
+def test_learned_hints_persist_roundtrip(tmp_path):
+    """Learned sparse-engine hints (expansion budget, fetch lengths)
+    persist in .ksx and re-seed the caches on load (VERDICT r2 item 6:
+    warm-start without the first-call undersize retry)."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(71)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=160, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(40, 20, pool, 72)
+    query = _mk_index(12, 15, pool, 73)
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    hits = sparse_search(target, q_hi, q_lo, q_valid)
+    assert hits.n_hits > 0
+    inv = target.inverted
+    hints = sp.export_learned_hints(inv)
+    assert hints["expand"]  # the search learned a budget
+    path = str(tmp_path / "idx.ksx")
+    target.save(path)
+    assert (tmp_path / "idx.ksx" / "hints.json").exists()
+
+    # fresh caches (a new process)
+    sp._EXPAND_CACHE.clear()
+    sp._HP_CACHE.clear()
+    from kmerseek_tpu.core.index import ProteomeIndex as PI
+
+    loaded = PI.load(path)
+    re = sp.export_learned_hints(loaded.inverted)
+    assert re["expand"] == hints["expand"]
+    assert re["hp"] == hints["hp"]
+    # and the loaded index searches identically
+    hits2 = sparse_search(loaded, q_hi, q_lo, q_valid)
+    for a, b in zip(hits, hits2):
+        assert np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
