@@ -97,6 +97,7 @@ def _sparse_hits_core(
     run_offset,
     expand_e: int | None = None,
     wide_weights: bool = True,
+    compact_io: bool = False,
 ):
     """Traced body shared by the single-block and scan-chunked kernels.
 
@@ -233,6 +234,13 @@ def _sparse_hits_core(
         st, mode="drop"
     )
     stats = jnp.stack([n_hits, m_total.astype(jnp.int32)])
+    if compact_io:
+        # host fetch rides a ~40 MB/s tunnel: q (≤ Q < 2^15) and count
+        # (≤ S < 2^15) downcast to int16 AFTER the scatters (two
+        # elementwise passes, ~free on device) — 25% fewer fetched
+        # bytes per hit slot; hosts upcast on arrival
+        q_out = q_out.astype(jnp.int16)
+        counts = counts.astype(jnp.int16)
     return q_out, t_out, counts, weights, stats
 
 
@@ -240,7 +248,7 @@ def _sparse_hits_core(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e", "wide_weights",
+        "expand_e", "wide_weights", "compact_io",
     ),
 )
 def inverted_sparse_hits(
@@ -258,6 +266,7 @@ def inverted_sparse_hits(
     run_offset=0,
     expand_e: int | None = None,
     wide_weights: bool = True,
+    compact_io: bool = False,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
@@ -296,6 +305,7 @@ def inverted_sparse_hits(
         run_offset=run_offset,
         expand_e=expand_e,
         wide_weights=wide_weights,
+        compact_io=compact_io,
     )
 
 
@@ -303,7 +313,7 @@ def inverted_sparse_hits(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e", "wide_weights",
+        "expand_e", "wide_weights", "compact_io",
     ),
 )
 def inverted_sparse_hits_chunks(
@@ -321,6 +331,7 @@ def inverted_sparse_hits_chunks(
     run_offset=0,
     expand_e: int | None = None,
     wide_weights: bool = True,
+    compact_io: bool = False,
 ):
     """All query chunks in ONE compiled program via ``lax.scan``.
 
@@ -349,6 +360,7 @@ def inverted_sparse_hits_chunks(
             run_offset=run_offset,
             expand_e=expand_e,
             wide_weights=wide_weights,
+            compact_io=compact_io,
         )
         return carry, out
 
@@ -379,6 +391,20 @@ COMPACT_EXPANSION = True
 
 def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _trim_len(h: int, cap: int) -> int:
+    """Fetch-slice length for ``h`` hits: smallest quarter-power-of-two
+    (mantissa {4,5,6,7} · 2^k) ≥ h. Each distinct static slice length
+    is its own compiled program, so lengths must quantize — but the
+    tunnel's D2H bandwidth (~40 MB/s measured) makes plain pow2's up-to
+    -2x over-fetch the costlier side; quarter steps bound over-fetch at
+    25% for ≤ 4x the slice-program count (amortized by the persistent
+    compile cache)."""
+    h = max(int(h), 1)
+    k = max(h.bit_length() - 3, 0)
+    q = -(-h >> k) << k  # ceil to a multiple of 2^k
+    return min(int(cap), max(128, q))
 
 
 def _cache_owner(inv):
@@ -529,6 +555,7 @@ def _sparse_single(
     Qn, Sn = int(Q), int(S)
     expand_e = _expand_budget(inv, Qn, Sn, max_run)
     wide = _wide_weights_needed(inv, Sn)
+    c_io = Qn < 2**15 and Sn < 2**15  # int16 q/count transfer
 
     def run(cap: int, e):
         return inverted_sparse_hits(
@@ -545,6 +572,7 @@ def _sparse_single(
             run_offset=run_offset,
             expand_e=e,
             wide_weights=wide,
+            compact_io=c_io,
         )
 
     q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
@@ -579,17 +607,18 @@ def _sparse_single(
     # The slice length quantizes to a power of two so only O(log
     # capacity) distinct slice programs ever compile (each distinct
     # static length is its own XLA program — costly over the tunnel).
-    hp = min(int(capacity), max(128, 1 << (max(h - 1, 1)).bit_length()))
+    hp = _trim_len(h, capacity)
     _note_hp(inv, shape_key, hp)
     if opt is not None and h <= hv:
         qo, to, co, wo = (np.asarray(v) for v in opt)
         return SparseHits(
-            qo[:h], to[:h], co[:h], _weights_int64(wo[:h], wide), n
+            qo[:h].astype(np.int32), to[:h], co[:h].astype(np.int32),
+            _weights_int64(wo[:h], wide), n,
         )
     return SparseHits(
-        np.asarray(q_out[:hp])[:h],
+        np.asarray(q_out[:hp])[:h].astype(np.int32),
         np.asarray(t_out[:hp])[:h],
-        np.asarray(counts[:hp])[:h],
+        np.asarray(counts[:hp])[:h].astype(np.int32),
         _weights_int64(np.asarray(weights[:hp])[:h], wide),
         n,
     )
@@ -649,6 +678,7 @@ def _sparse_chunks(
     binv, g4, bucket_starts = device_postings(inv)
     expand_e = _expand_budget(inv, int(Qc), int(S), max_run)
     wide = _wide_weights_needed(inv, int(S))
+    c_io = int(Qc) < 2**15 and int(S) < 2**15
 
     def run(e):
         return inverted_sparse_hits_chunks(
@@ -665,6 +695,7 @@ def _sparse_chunks(
             run_offset=run_offset,
             expand_e=e,
             wide_weights=wide,
+            compact_io=c_io,
         )
 
     q_out, t_out, counts, weights, stats = run(expand_e)
@@ -693,7 +724,7 @@ def _sparse_chunks(
     n = nm[:, 0]
     hs = np.minimum(n, int(cap))
     # shared power-of-two trim across chunks: one slice program per hp
-    hp = min(int(cap), max(128, 1 << (int(max(hs.max(), 1)) - 1).bit_length()))
+    hp = _trim_len(int(hs.max()), cap)
     _note_hp(inv, shape_key, hp)
     if opt is not None and int(hs.max()) <= hv:
         views = opt
@@ -720,7 +751,8 @@ def _sparse_chunks(
             continue
         parts.append(
             SparseHits(
-                qa[c, :h], ta[c, :h], ca[c, :h],
+                qa[c, :h].astype(np.int32), ta[c, :h],
+                ca[c, :h].astype(np.int32),
                 _weights_int64(wa[c, :h], wide), nc,
             )
         )

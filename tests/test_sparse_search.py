@@ -673,3 +673,69 @@ def test_learned_hints_persist_roundtrip(tmp_path):
     hits2 = sparse_search(loaded, q_hi, q_lo, q_valid)
     for a, b in zip(hits, hits2):
         assert np.array_equal(a, b) if isinstance(a, np.ndarray) else a == b
+
+
+def test_compact_io_bit_equal_int16_transfer():
+    """compact_io=True downcasts q/count to int16 for the tunnel fetch;
+    values must be identical after upcast, and the dispatcher must
+    upcast so SparseHits keeps its int32 contract."""
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.inverted import device_postings
+    from kmerseek_tpu.ops.sparse_search import (
+        _expand_budget,
+        inverted_sparse_hits,
+    )
+
+    rng = np.random.default_rng(55)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=160, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(40, 20, pool, 56)
+    query = _mk_index(12, 15, pool, 57)
+    q_hi, q_lo, q_valid = _query_block(query)
+    inv = target.inverted
+    binv, g4, bucket_starts = device_postings(inv)
+    kw = dict(
+        n_targets=binv.n_targets,
+        max_run=int(inv.max_run),
+        capacity=512,
+        span_steps=max(int(binv.max_span).bit_length(), 1),
+        bucket_shift=binv.bucket_shift,
+        run_offset=0,
+        expand_e=_expand_budget(inv, *q_hi.shape, int(inv.max_run)),
+    )
+    a = inverted_sparse_hits(
+        jnp.asarray(g4), jnp.asarray(bucket_starts),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_valid),
+        compact_io=False, **kw,
+    )
+    b = inverted_sparse_hits(
+        jnp.asarray(g4), jnp.asarray(bucket_starts),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_valid),
+        compact_io=True, **kw,
+    )
+    assert np.asarray(b[0]).dtype == np.int16  # q
+    assert np.asarray(b[2]).dtype == np.int16  # count
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y).astype(np.asarray(x).dtype))
+
+    # production path returns int32/int64 as before
+    hits = sparse_search(target, q_hi, q_lo, q_valid)
+    assert hits.q.dtype == np.int32
+    assert hits.count.dtype == np.int32
+    assert hits.weight.dtype == np.int64
+
+
+def test_trim_len_quantization():
+    from kmerseek_tpu.ops.sparse_search import _trim_len
+
+    cap = 1 << 22
+    for h in (1, 127, 128, 129, 390195, 524288, 524289, 4_000_000):
+        t = _trim_len(h, cap)
+        assert t >= min(max(h, 128), cap)
+        assert t <= cap
+        # over-fetch bounded at 25% past the 128 floor
+        if 128 <= h <= cap:
+            assert t <= max(h + (h >> 2), 128)
+    assert _trim_len(5_000_000, cap) == cap
