@@ -285,7 +285,7 @@ def measure_search_sparse(
     targets: int = 524288,
     queries: int = 512,
     sketch: int = SKETCH,
-    q_chunk: int = 128,
+    q_chunk: int = 512,
     pool_bits: int = 22,
     iters: int = 3,
 ) -> dict:
@@ -386,6 +386,7 @@ def measure_search_sparse(
         "detail": {
             "targets": targets,
             "queries": queries,
+            "q_chunk": q_chunk,
             "sketch_slots": sketch,
             "postings": len(mins),
             "max_run": int(inv.max_run),
