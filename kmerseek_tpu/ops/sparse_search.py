@@ -44,6 +44,7 @@ from .inverted import (
     _bucketed_lower_bound_packed,
     build_inverted_np,
     device_postings,
+    max_abundance as _max_abundance,
 )
 
 
@@ -98,6 +99,8 @@ def _sparse_hits_core(
     expand_e: int | None = None,
     wide_weights: bool = True,
     compact_io: bool = False,
+    t16: bool = False,
+    w16: bool = False,
 ):
     """Traced body shared by the single-block and scan-chunked kernels.
 
@@ -241,6 +244,10 @@ def _sparse_hits_core(
         # bytes per hit slot; hosts upcast on arrival
         q_out = q_out.astype(jnp.int16)
         counts = counts.astype(jnp.int16)
+    if t16:  # n_targets < 2^15: target ids (sentinel included) fit too
+        t_out = t_out.astype(jnp.int16)
+    if w16:  # S·max_ab < 2^15: narrow weights fit int16 as well
+        weights = weights.astype(jnp.int16)
     return q_out, t_out, counts, weights, stats
 
 
@@ -248,7 +255,7 @@ def _sparse_hits_core(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e", "wide_weights", "compact_io",
+        "expand_e", "wide_weights", "compact_io", "t16", "w16",
     ),
 )
 def inverted_sparse_hits(
@@ -267,6 +274,8 @@ def inverted_sparse_hits(
     expand_e: int | None = None,
     wide_weights: bool = True,
     compact_io: bool = False,
+    t16: bool = False,
+    w16: bool = False,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
@@ -306,6 +315,8 @@ def inverted_sparse_hits(
         expand_e=expand_e,
         wide_weights=wide_weights,
         compact_io=compact_io,
+        t16=t16,
+        w16=w16,
     )
 
 
@@ -313,7 +324,7 @@ def inverted_sparse_hits(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e", "wide_weights", "compact_io",
+        "expand_e", "wide_weights", "compact_io", "t16", "w16",
     ),
 )
 def inverted_sparse_hits_chunks(
@@ -332,6 +343,8 @@ def inverted_sparse_hits_chunks(
     expand_e: int | None = None,
     wide_weights: bool = True,
     compact_io: bool = False,
+    t16: bool = False,
+    w16: bool = False,
 ):
     """All query chunks in ONE compiled program via ``lax.scan``.
 
@@ -361,6 +374,8 @@ def inverted_sparse_hits_chunks(
             expand_e=expand_e,
             wide_weights=wide_weights,
             compact_io=compact_io,
+            t16=t16,
+            w16=w16,
         )
         return carry, out
 
@@ -556,6 +571,8 @@ def _sparse_single(
     expand_e = _expand_budget(inv, Qn, Sn, max_run)
     wide = _wide_weights_needed(inv, Sn)
     c_io = Qn < 2**15 and Sn < 2**15  # int16 q/count transfer
+    t_16 = binv.n_targets < 2**15
+    w_16 = not wide and Sn * max(_max_abundance(inv), 1) < 2**15
 
     def run(cap: int, e):
         return inverted_sparse_hits(
@@ -573,6 +590,8 @@ def _sparse_single(
             expand_e=e,
             wide_weights=wide,
             compact_io=c_io,
+            t16=t_16,
+            w16=w_16,
         )
 
     q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
@@ -612,12 +631,12 @@ def _sparse_single(
     if opt is not None and h <= hv:
         qo, to, co, wo = (np.asarray(v) for v in opt)
         return SparseHits(
-            qo[:h].astype(np.int32), to[:h], co[:h].astype(np.int32),
-            _weights_int64(wo[:h], wide), n,
+            qo[:h].astype(np.int32), to[:h].astype(np.int32),
+            co[:h].astype(np.int32), _weights_int64(wo[:h], wide), n,
         )
     return SparseHits(
         np.asarray(q_out[:hp])[:h].astype(np.int32),
-        np.asarray(t_out[:hp])[:h],
+        np.asarray(t_out[:hp])[:h].astype(np.int32),
         np.asarray(counts[:hp])[:h].astype(np.int32),
         _weights_int64(np.asarray(weights[:hp])[:h], wide),
         n,
@@ -679,6 +698,8 @@ def _sparse_chunks(
     expand_e = _expand_budget(inv, int(Qc), int(S), max_run)
     wide = _wide_weights_needed(inv, int(S))
     c_io = int(Qc) < 2**15 and int(S) < 2**15
+    t_16 = binv.n_targets < 2**15
+    w_16 = not wide and int(S) * max(_max_abundance(inv), 1) < 2**15
 
     def run(e):
         return inverted_sparse_hits_chunks(
@@ -696,6 +717,8 @@ def _sparse_chunks(
             expand_e=e,
             wide_weights=wide,
             compact_io=c_io,
+            t16=t_16,
+            w16=w_16,
         )
 
     q_out, t_out, counts, weights, stats = run(expand_e)
@@ -751,7 +774,7 @@ def _sparse_chunks(
             continue
         parts.append(
             SparseHits(
-                qa[c, :h].astype(np.int32), ta[c, :h],
+                qa[c, :h].astype(np.int32), ta[c, :h].astype(np.int32),
                 ca[c, :h].astype(np.int32),
                 _weights_int64(wa[c, :h], wide), nc,
             )

@@ -713,10 +713,12 @@ def test_compact_io_bit_equal_int16_transfer():
     b = inverted_sparse_hits(
         jnp.asarray(g4), jnp.asarray(bucket_starts),
         jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_valid),
-        compact_io=True, **kw,
+        compact_io=True, t16=True, w16=True, **kw,
     )
     assert np.asarray(b[0]).dtype == np.int16  # q
+    assert np.asarray(b[1]).dtype == np.int16  # t (n_targets < 2^15)
     assert np.asarray(b[2]).dtype == np.int16  # count
+    assert np.asarray(b[3]).dtype == np.int16  # weight (S*max_ab < 2^15)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y).astype(np.asarray(x).dtype))
 
