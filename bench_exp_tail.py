@@ -228,5 +228,39 @@ def main():
     bench(lambda: run_prod(False), "prod narrow #2")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) <= 2 or sys.argv[2] != "profile"):
     main()
+
+
+def profile_production(targets=524288):
+    """Decompose production sparse_search wall time at several q_chunks."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.sparse_search import sparse_search
+
+    print("building synthetic index...", flush=True)
+    t0 = time.perf_counter()
+    inv, pool, q64, qv = _build_synthetic(targets=targets)
+    print(f"build {time.perf_counter()-t0:.1f}s postings={inv.n_postings}", flush=True)
+
+    class _Idx:
+        inverted = inv
+
+    q_hi = jnp.asarray((q64 >> np.uint64(32)).astype(np.uint32))
+    q_lo = jnp.asarray((q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    q_valid = jnp.asarray(qv)
+    Q = q_hi.shape[0]
+    for qc in (64, 128, 256, 512):
+        sparse_search(_Idx(), q_hi, q_lo, q_valid, q_chunk=qc)  # compile+learn
+        best = None
+        for _ in range(5):
+            t0 = time.perf_counter()
+            hits = sparse_search(_Idx(), q_hi, q_lo, q_valid, q_chunk=qc)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"q_chunk={qc:4d}: {best*1e3:7.1f} ms  {Q/best:7.0f} q/s  hits={hits.n_hits}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 2 and sys.argv[2] == "profile":
+    profile_production(int(sys.argv[1]))

@@ -408,6 +408,18 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _qpow2(x: int) -> int:
+    """Smallest quarter-power-of-two (mantissa {4,5,6,7} · 2^k) ≥ x.
+
+    Kernel work scales with the static expansion budget E, so plain
+    pow2 quantization pays up to 2x oversized sorts; quarter steps
+    bound the overshoot at 25% for ≤ 4x the compile count (amortized
+    by the persistent compile cache + persisted learned budgets)."""
+    x = max(int(x), 1)
+    k = max(x.bit_length() - 3, 0)
+    return -(-x >> k) << k
+
+
 def _trim_len(h: int, cap: int) -> int:
     """Fetch-slice length for ``h`` hits: smallest quarter-power-of-two
     (mantissa {4,5,6,7} · 2^k) ≥ h. Each distinct static slice length
@@ -416,10 +428,7 @@ def _trim_len(h: int, cap: int) -> int:
     -2x over-fetch the costlier side; quarter steps bound over-fetch at
     25% for ≤ 4x the slice-program count (amortized by the persistent
     compile cache)."""
-    h = max(int(h), 1)
-    k = max(h.bit_length() - 3, 0)
-    q = -(-h >> k) << k  # ceil to a multiple of 2^k
-    return min(int(cap), max(128, q))
+    return min(int(cap), max(128, _qpow2(h)))
 
 
 def _cache_owner(inv):
@@ -498,9 +507,9 @@ def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
     owner = _cache_owner(inv)
     e = _cache_get(_EXPAND_CACHE, (id(owner), Q, S), owner)
     if e is None:
-        e = _pow2(4 * Q * S)
+        e = _qpow2(4 * Q * S)
     # never above the rectangular worst case, never trivial
-    return max(128, min(e, _pow2(Q * S * max_run)))
+    return max(128, min(e, _qpow2(Q * S * max_run)))
 
 
 def _note_expand(inv: InvertedIndex, Q: int, S: int, m_seen: int) -> None:
@@ -512,7 +521,7 @@ def _note_expand(inv: InvertedIndex, Q: int, S: int, m_seen: int) -> None:
         _EXPAND_CACHE_SLOTS,
         key,
         owner,
-        max(prev, _pow2(2 * max(m_seen, 64))),
+        max(prev, _qpow2(2 * max(m_seen, 64))),
     )
 
 
@@ -608,7 +617,7 @@ def _sparse_single(
     n, m = (int(v) for v in np.asarray(stats))
     if expand_e is not None and m > expand_e:
         # compact budget undersized: retry at the exact match total
-        expand_e = max(128, min(_pow2(m), _pow2(Qn * Sn * max_run)))
+        expand_e = max(128, min(_qpow2(m), _qpow2(Qn * Sn * max_run)))
         q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
         n, m = (int(v) for v in np.asarray(stats))
         opt = None
@@ -737,7 +746,8 @@ def _sparse_chunks(
     if expand_e is not None and int(nm[:, 1].max()) > expand_e:
         # compact budget undersized for some chunk: one exact retry
         expand_e = max(
-            128, min(_pow2(int(nm[:, 1].max())), _pow2(int(Qc) * int(S) * max_run))
+            128,
+            min(_qpow2(int(nm[:, 1].max())), _qpow2(int(Qc) * int(S) * max_run)),
         )
         q_out, t_out, counts, weights, stats = run(expand_e)
         nm = np.asarray(stats)
