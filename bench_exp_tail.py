@@ -228,7 +228,7 @@ def main():
     bench(lambda: run_prod(False), "prod narrow #2")
 
 
-if __name__ == "__main__" and (len(sys.argv) <= 2 or sys.argv[2] != "profile"):
+if __name__ == "__main__" and len(sys.argv) <= 2:
     main()
 
 
@@ -264,3 +264,168 @@ def profile_production(targets=524288):
 
 if __name__ == "__main__" and len(sys.argv) > 2 and sys.argv[2] == "profile":
     profile_production(int(sys.argv[1]))
+
+
+def packed_key_variant():
+    """Kernel twin: pack (q, t) into ONE int32 sort key.
+
+    MEASURED AND REJECTED on-chip (2026-08-19, 50M postings): dead even
+    with the production 2-key unstable sort at both 128- and 512-query
+    blocks (9.10 vs 9.10, 33.6 vs 33.6 ms/block) — unlike the sketch
+    stage's hi-word fast path, collapsing the comparator here buys
+    nothing (the sort is bandwidth-bound on the 3-operand permute, not
+    comparator-bound). Kept as the documented negative result.
+
+    q < 2^15 and q·(T+1)+t < 2^31 at every production shape up to
+    ~4k-query blocks over 500k+ targets, so the 2-key 3-operand sort
+    collapses to a single-key sort with w as the only payload; q and t
+    unpack afterwards by one divide (a multiply on TPU) and one
+    multiply-subtract. Sentinels: invalid tuples carry key = Q·(T+1)
+    which sinks to the end exactly like the (Q, t) sentinel pair."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.inverted import _bucketed_lower_bound_packed
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
+            "expand_e",
+        ),
+    )
+    def kernel(
+        g4, bucket_starts, q_hi, q_lo, q_valid, *,
+        n_targets, max_run, capacity, span_steps, bucket_shift,
+        expand_e,
+    ):
+        Q, S = q_hi.shape
+        N = g4.shape[0]
+        T1 = n_targets + 1
+
+        def lower_bound(hi, lo):
+            return _bucketed_lower_bound_packed(
+                g4, bucket_starts, hi, lo, span_steps, bucket_shift
+            )
+
+        pos = lower_bound(q_hi, q_lo)
+        E = expand_e
+        lo1 = q_lo + jnp.uint32(1)
+        hi1 = q_hi + (lo1 == 0).astype(jnp.uint32)
+        wrapped = (q_hi == jnp.uint32(0xFFFFFFFF)) & (q_lo == jnp.uint32(0xFFFFFFFF))
+        ub = lower_bound(hi1, lo1)
+        ub = jnp.where(wrapped, jnp.int32(N), ub)
+        cnt = jnp.where(q_valid, ub - pos, 0)
+        cnt = jnp.clip(cnt, 0, max_run)
+        cntf = cnt.reshape(-1)
+        lbf = pos.reshape(-1)
+        offs = jnp.cumsum(cntf) - cntf
+        m_total = offs[-1] + cntf[-1]
+        P = cntf.shape[0]
+        pid = jnp.arange(P, dtype=jnp.int32)
+        seg0 = jnp.zeros(E, jnp.int32).at[offs].max(pid + 1, mode="drop")
+        probe = jax.lax.cummax(seg0) - 1
+        rank = jnp.arange(E, dtype=jnp.int32) - jnp.take(offs, probe)
+        valid_t = rank < jnp.take(cntf, probe)
+        idx = jnp.take(lbf, probe) + rank
+        row = jnp.take(g4, jnp.clip(idx, 0, N - 1), axis=0)
+        t = row[:, 2].astype(jnp.int32)
+        qk = probe // jnp.int32(S)
+        # ONE packed key; invalid → Q*T1 (max, sinks to end)
+        key = jnp.where(valid_t, qk * jnp.int32(T1) + t, jnp.int32(Q) * jnp.int32(T1))
+        w = jnp.where(valid_t, row[:, 3].astype(jnp.int32), 0)
+
+        skey, sw = jax.lax.sort((key, w), num_keys=1, is_stable=False)
+        sq = skey // jnp.int32(T1)
+        st = skey - sq * jnp.int32(T1)
+        valid = sq < Q
+        prev = jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]])
+        head = valid & (skey != prev)
+        seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+        n_hits = jnp.sum(head.astype(jnp.int32))
+
+        slot = jnp.where(valid, seg, capacity)
+        counts = jnp.zeros(capacity, jnp.int32).at[slot].add(
+            valid.astype(jnp.int32), mode="drop"
+        )
+        wv = jnp.where(valid, sw, 0)
+        weights = jnp.zeros(capacity, jnp.int32).at[slot].add(wv, mode="drop")
+        head_slot = jnp.where(head, seg, capacity)
+        q_out = jnp.full(capacity, Q, jnp.int32).at[head_slot].set(sq, mode="drop")
+        t_out = jnp.full(capacity, n_targets, jnp.int32).at[head_slot].set(
+            st, mode="drop"
+        )
+        stats = jnp.stack([n_hits, m_total.astype(jnp.int32)])
+        return q_out, t_out, counts, weights, stats
+
+    return kernel
+
+
+def main_packed():
+    targets = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
+    import jax
+    import jax.numpy as jnp
+
+    from kmerseek_tpu.ops.inverted import device_postings
+    from kmerseek_tpu.ops.sparse_search import (
+        _expand_budget,
+        inverted_sparse_hits,
+    )
+
+    print("building synthetic index...", flush=True)
+    t0 = time.perf_counter()
+    inv, pool, q64, qv = _build_synthetic(targets=targets)
+    print(f"build {time.perf_counter()-t0:.1f}s postings={inv.n_postings}", flush=True)
+
+    q_hi = jnp.asarray((q64 >> np.uint64(32)).astype(np.uint32))
+    q_lo = jnp.asarray((q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    q_valid = jnp.asarray(qv)
+    binv, g4, bucket_starts = device_postings(inv)
+    S = q_hi.shape[1]
+    max_run = int(inv.max_run)
+    packed = packed_key_variant()
+    for Qc in (128, 512):
+        E = _expand_budget(inv, Qc, S, max_run)
+        cap = 512 * 1024
+        kw = dict(
+            n_targets=binv.n_targets, max_run=max_run, capacity=cap,
+            span_steps=max(int(binv.max_span).bit_length(), 1),
+            bucket_shift=binv.bucket_shift,
+        )
+        qh, ql, qv_ = q_hi[:Qc], q_lo[:Qc], q_valid[:Qc]
+
+        def run_prod():
+            return inverted_sparse_hits(
+                g4, bucket_starts, qh, ql, qv_, run_offset=0, expand_e=E,
+                wide_weights=False, **kw
+            )
+
+        def run_packed():
+            return packed(g4, bucket_starts, qh, ql, qv_, expand_e=E, **kw)
+
+        a = [np.asarray(x) for x in run_prod()]
+        b = [np.asarray(x) for x in run_packed()]
+        n = int(a[4][0])
+        assert int(b[4][0]) == n
+        for x, y in zip(a[:4], b[:4]):
+            assert np.array_equal(x[:n], y[:n].astype(x.dtype)), "mismatch"
+        print(f"Qc={Qc}: bit-equal over {n} hits, E={E}", flush=True)
+
+        def bench(f, label, iters=30):
+            f()
+            outs = None
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                outs = f()
+            jax.block_until_ready(outs)
+            dt = (time.perf_counter() - t0) / iters
+            print(f"  {label:12s} {dt*1e3:8.2f} ms/block ({Qc/dt:8.0f} q/s kernel-only)", flush=True)
+
+        bench(run_prod, "prod 2-key")
+        bench(run_packed, "packed 1-key")
+
+
+if __name__ == "__main__" and len(sys.argv) > 2 and sys.argv[2] == "packed":
+    main_packed()
