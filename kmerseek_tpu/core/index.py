@@ -665,9 +665,12 @@ class ProteomeIndex:
         from ..ops.sparse_search import export_learned_hints
 
         hints = export_learned_hints(inv)
-        if hints.get("expand") or hints.get("hp"):
-            with open(os.path.join(path, "hints.json"), "w") as f:
-                json.dump(hints, f)
+        # written unconditionally (possibly empty): re-saving a
+        # different index into an existing .ksx directory must not
+        # leave a previous index's hints behind to be seeded as
+        # foreign budgets on the next load
+        with open(os.path.join(path, "hints.json"), "w") as f:
+            json.dump(hints, f)
         if self.sequences is not None:
             seq_off = np.zeros(len(self.sequences) + 1, np.int64)
             for i, s in enumerate(self.sequences):
@@ -759,7 +762,7 @@ class ProteomeIndex:
                 try:
                     with open(hints_path) as f:
                         seed_learned_hints(inv, json.load(f))
-                except (ValueError, OSError):
+                except Exception:
                     pass  # hints are advisory; a bad file is ignored
         return idx
 

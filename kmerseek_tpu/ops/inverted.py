@@ -202,6 +202,7 @@ def max_abundance(inv) -> int:
     ab = inv.ab
     ent = _MAX_AB_CACHE.get(id(ab))
     if ent is not None and ent[0]() is ab:
+        _MAX_AB_CACHE.move_to_end(id(ab))  # LRU, not FIFO
         return ent[1]
     import weakref
 

@@ -125,6 +125,11 @@ def _sparse_hits_core(
     """
     Q, S = q_hi.shape
     N = g4.shape[0]
+    if w16 and wide_weights:
+        # the (capacity, 2) limb accumulators exist precisely because
+        # lo-limb sums can reach S*0xFFFF; truncating them to int16
+        # would corrupt exactly the corpora that need the wide path
+        raise ValueError("w16=True requires wide_weights=False")
     if expand_e is not None and Q * S * max_run >= 2**31:
         # the compact expansion's offsets come from an int32 cumsum; a
         # probe block whose worst-case tuple count wraps int32 would
@@ -477,26 +482,34 @@ def export_learned_hints(inv) -> dict:
     return out
 
 
-def seed_learned_hints(inv, hints: dict) -> None:
-    """Seed the learned-hint caches for a freshly loaded index."""
-    if not hints:
+def seed_learned_hints(inv, hints) -> None:
+    """Seed the learned-hint caches for a freshly loaded index.
+
+    Hints are advisory-only; a malformed file (non-dict top level,
+    non-scalar values) must never abort an otherwise-valid index load,
+    so every per-entry conversion sits inside the try."""
+    if not isinstance(hints, dict):
         return
     owner = _cache_owner(inv)
-    for k, v in (hints.get("expand") or {}).items():
+    ex = hints.get("expand")
+    for k, v in (ex.items() if isinstance(ex, dict) else ()):
         try:
             Q, S = (int(x) for x in k.split(","))
-        except ValueError:
+            v = int(v)
+        except (ValueError, TypeError):
             continue
         _cache_put(
-            _EXPAND_CACHE, _EXPAND_CACHE_SLOTS, (id(owner), Q, S), owner, int(v)
+            _EXPAND_CACHE, _EXPAND_CACHE_SLOTS, (id(owner), Q, S), owner, v
         )
-    for k, v in (hints.get("hp") or {}).items():
+    hp = hints.get("hp")
+    for k, v in (hp.items() if isinstance(hp, dict) else ()):
         try:
             shape = tuple(int(x) for x in k.split(","))
-        except ValueError:
+            v = int(v)
+        except (ValueError, TypeError):
             continue
         _cache_put(
-            _HP_CACHE, _HP_CACHE_SLOTS, (id(owner),) + shape, owner, int(v)
+            _HP_CACHE, _HP_CACHE_SLOTS, (id(owner),) + shape, owner, v
         )
 
 

@@ -704,6 +704,9 @@ def test_compact_io_bit_equal_int16_transfer():
         bucket_shift=binv.bucket_shift,
         run_offset=0,
         expand_e=_expand_budget(inv, *q_hi.shape, int(inv.max_run)),
+        # w16 statically requires the narrow weight path (the 16-bit
+        # limb accumulators must never be truncated to int16)
+        wide_weights=False,
     )
     a = inverted_sparse_hits(
         jnp.asarray(g4), jnp.asarray(bucket_starts),
