@@ -252,14 +252,16 @@ class _JoinSegments:
         self.total = total
 
 
-def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _JoinSegments:
-    """Vectorized intersection join via the target's inverted index.
+def _join_tuples(query: ProteomeIndex, inv):
+    """Flat, unsorted co-occurrence tuples of the intersection join.
 
-    ``inner`` picks the within-segment tuple order: ``"ab"`` (ascending
-    target abundance — enables O(1) segmented medians) or ``"hash"``
-    (ascending hash value — reproduces the reference's per-hash
-    summation order for multisearch probability scores)."""
-    inv = target.inverted
+    One probe of every query hash into ``inv``'s distinct-hash table,
+    expanded to one (q_row, target, abundance, q_hash_index) tuple per
+    query-hash/target co-occurrence. Shared by the single-host join
+    (``_host_join``) and the hash-range-sharded engine
+    (``parallel.sharded``): a shard's local posting slice yields exactly
+    the global tuple subset whose hashes fall in its range, so the
+    union of per-shard tuple lists IS the global tuple list."""
     st = _db_hash_stats(inv)
     qm = query.mins
     # ONE searchsorted into the distinct-hash table (the old two-pass
@@ -275,7 +277,7 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     total = int(cnt.sum())
     if total == 0:
         z = np.zeros(0, np.int64)
-        return _JoinSegments(z, z, z, z, z, z, z, posc, 0)
+        return z, z, z, z, posc
     q_sizes = np.diff(query.offsets)
     q_row_per_hash = np.repeat(np.arange(len(query), dtype=np.int64), q_sizes)
     # expand each query hash's posting span [lo, hi) into flat indices
@@ -285,8 +287,25 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     pt = inv.tid[idx].astype(np.int64)
     pab = inv.ab[idx].astype(np.int64)
     qhash = np.repeat(np.arange(len(qm), dtype=np.int64), cnt)
-    T = len(target)
-    if inner == "ab" and len(query) * T < 2**32:
+    return pq, pt, pab, qhash, posc
+
+
+def _segments_from_tuples(
+    pq, pt, pab, qhash, qm, nq: int, T: int, inner: str, qpos
+) -> _JoinSegments:
+    """Sort flat tuples into contiguous (q, t) segments.
+
+    ``inner`` picks the within-segment tuple order (see ``_host_join``).
+    Order-independent of the INPUT tuple order: the sort key totally
+    orders everything downstream consumes (equal keys are
+    interchangeable), so per-shard tuple lists can concatenate in any
+    shard order and still produce the single-host segments
+    bit-for-bit."""
+    total = len(pq)
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return _JoinSegments(z, z, z, z, z, z, z, qpos, 0)
+    if inner == "ab" and nq * T < 2**32:
         # single packed int64 key: (pq, pt) fits 32 bits by the guard,
         # pab fits 31 (postings are int32 abundances) — one radix-style
         # stable argsort, ~2x the three-key lexsort. Equal full keys are
@@ -305,7 +324,20 @@ def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _Join
     seg_n = np.diff(np.append(starts, total))
     seg_id = np.cumsum(new) - 1
     return _JoinSegments(
-        starts, seg_n, pq[starts], pt[starts], seg_id, pab, qhash, posc, total
+        starts, seg_n, pq[starts], pt[starts], seg_id, pab, qhash, qpos, total
+    )
+
+
+def _host_join(query: ProteomeIndex, target: ProteomeIndex, inner: str) -> _JoinSegments:
+    """Vectorized intersection join via the target's inverted index.
+
+    ``inner`` picks the within-segment tuple order: ``"ab"`` (ascending
+    target abundance — enables O(1) segmented medians) or ``"hash"``
+    (ascending hash value — reproduces the reference's per-hash
+    summation order for multisearch probability scores)."""
+    pq, pt, pab, qhash, posc = _join_tuples(query, target.inverted)
+    return _segments_from_tuples(
+        pq, pt, pab, qhash, query.mins, len(query), len(target), inner, posc
     )
 
 
@@ -435,23 +467,49 @@ def manysearch_columns(
         target.config.moltype,
     ):
         raise ValueError("query/target sketch parameters differ")
-    k3 = minhash_ksize(query.config.ksize)
-    scaled = query.config.scaled
-    moltype = query.config.moltype
-
     js = _host_join(query, target, inner="ab")
     if js.total == 0:
         return {c: [] for c in MANYSEARCH_COLUMNS}
-    q_sizes = np.diff(query.offsets)
     t_sizes = np.diff(target.offsets)
     t_weight = np.add.reduceat(
         np.append(target.abundances, 0), target.offsets[:-1]
     ) * (t_sizes > 0)
+    return _assemble_manysearch_columns(
+        query, target, js, threshold, t_sizes, t_weight,
+        validate=lambda weighted: _validate_with_device(
+            query, target, js, weighted
+        ),
+    )
+
+
+def _assemble_manysearch_columns(
+    query,
+    target,
+    js: _JoinSegments,
+    threshold: float,
+    t_sizes: np.ndarray,
+    t_weight: np.ndarray,
+    validate=None,
+) -> Dict[str, list]:
+    """Segments → the 22 manysearch columns.
+
+    ``target`` only needs the metadata surface (``__len__``,
+    ``names_array``, ``md5_array``, ``name_ranks``) — satisfied by both
+    ``ProteomeIndex`` and the hash-range-sharded index
+    (``parallel.sharded.ShardedProteomeIndex``), whose per-target sizes
+    and weights arrive as the explicit ``t_sizes``/``t_weight`` global
+    arrays. ``validate`` (if given) is called with the segmented
+    weighted sums before assembly (the device cross-check hook)."""
+    k3 = minhash_ksize(query.config.ksize)
+    scaled = query.config.scaled
+    moltype = query.config.moltype
+    q_sizes = np.diff(query.offsets)
 
     # segmented statistics over the target abundances of each pair's
     # intersection (tuples within a segment are sorted by abundance)
     weighted = np.add.reduceat(js.pab, js.starts)  # int64 — no overflow
-    _validate_with_device(query, target, js, weighted)
+    if validate is not None:
+        validate(weighted)
     mean = weighted / js.seg_n
     dev = js.pab.astype(np.float64) - mean[js.seg_id]
     std = np.sqrt(np.add.reduceat(dev * dev, js.starts) / js.seg_n)

@@ -78,13 +78,33 @@ def iter_host_shard_batches(
         yield batch
 
 
-def hash_range_for_shard(shard: int, n_shards: int) -> Tuple[int, int]:
+def hash_range_for_shard(
+    shard: int, n_shards: int, span: int = 1 << 64
+) -> Tuple[int, int]:
     """[lo, hi) u64 hash range owned by a shard (hash-range sharding of
-    the index; murmur is uniform so ranges balance — SURVEY.md §7.1)."""
-    width = (1 << 64) // n_shards
+    the index; murmur is uniform so ranges balance — SURVEY.md §7.1).
+
+    ``span`` is the occupied hash space: the FracMinHash scaled filter
+    keeps only hashes ≤ max_hash(scaled), so production sharding passes
+    ``max_hash_for_scaled(scaled) + 1`` — splitting the full u64 line
+    would leave every shard above 2^64/scaled empty (e.g. shard 1 of 2
+    at scaled 5 would own nothing)."""
+    width = span // n_shards
     lo = shard * width
-    hi = (shard + 1) * width if shard < n_shards - 1 else 1 << 64
+    hi = (shard + 1) * width if shard < n_shards - 1 else span
     return lo, hi
+
+
+def shard_of_hash(mins: np.ndarray, n_shards: int, span: int = 1 << 64) -> np.ndarray:
+    """Owning shard of each u64 hash under ``hash_range_for_shard``
+    ranges (vectorized; the partition step of the posting exchange)."""
+    if n_shards == 1:
+        return np.zeros(len(mins), np.int64)
+    bounds = np.asarray(
+        [hash_range_for_shard(d, n_shards, span)[0] for d in range(1, n_shards)],
+        np.uint64,
+    )
+    return np.searchsorted(bounds, np.asarray(mins, np.uint64), side="right")
 
 
 # ----------------------------------------------------------------------
@@ -194,32 +214,27 @@ def _allgather_payloads(local: dict) -> List[dict]:
     return payloads
 
 
-def build_distributed_index(
+def sketch_local_shard(
     fasta: str,
-    config=None,
+    config,
+    pidx: int,
+    pcount: int,
     *,
     batch_size: int = 1000,
     ambiguity_policy: str = "first",
-):
-    """Multi-host data-parallel index build — the one entry point.
-
-    Each process streams its round-robin record shard, sketches it on
-    its local devices, and the shards are all-gathered so every process
-    returns the identical full ProteomeIndex (bit-equal to a
-    single-host `ProteomeIndex.build`). On one process this degrades to
-    the plain build path with zero communication."""
+) -> Tuple[List[int], list]:
+    """Stream + sketch THIS process's round-robin record shard on its
+    local devices. Returns (global ordinals, Signatures) — the shared
+    data-parallel ingest stage of both multi-host builds."""
     import jax
 
     from ..core.alphabet import validate_resolve_batch
-    from ..core.index import IndexConfig, sketch_batch_signatures
+    from ..core.fasta import prefetch
+    from ..core.index import sketch_batch_signatures
 
-    config = config or IndexConfig()
-    pidx, pcount = initialize_distributed()
     use_pallas = jax.default_backend() not in ("cpu",)
     ordinals: List[int] = []
     signatures = []
-    from ..core.fasta import prefetch
-
     for batch in prefetch(iter_host_shard_batches(fasta, pidx, pcount, batch_size)):
         names = [r.name for _o, r in batch]
         resolved = validate_resolve_batch(
@@ -235,5 +250,36 @@ def build_distributed_index(
             )
         )
         ordinals.extend(o for o, _r in batch)
+    return ordinals, signatures
+
+
+def build_distributed_index(
+    fasta: str,
+    config=None,
+    *,
+    batch_size: int = 1000,
+    ambiguity_policy: str = "first",
+):
+    """Multi-host data-parallel index build — full-replica mode.
+
+    Each process streams its round-robin record shard, sketches it on
+    its local devices, and the shards are all-gathered so every process
+    returns the identical full ProteomeIndex (bit-equal to a
+    single-host `ProteomeIndex.build`). On one process this degrades to
+    the plain build path with zero communication.
+
+    For indexes larger than one host's RAM use
+    ``parallel.sharded.build_sharded_index`` — it keeps only this
+    process's hash range resident (the BASELINE.json north-star
+    layout); this full-replica mode remains for corpora where every
+    host wants zero-communication searches afterwards."""
+    from ..core.index import IndexConfig
+
+    config = config or IndexConfig()
+    pidx, pcount = initialize_distributed()
+    ordinals, signatures = sketch_local_shard(
+        fasta, config, pidx, pcount,
+        batch_size=batch_size, ambiguity_policy=ambiguity_policy,
+    )
     payloads = _allgather_payloads(pack_local_shard(ordinals, signatures))
     return merge_shards(payloads, config, source_fasta=fasta)

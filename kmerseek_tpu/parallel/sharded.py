@@ -1,0 +1,559 @@
+"""Hash-range-sharded index across processes — each host holds N/P.
+
+The BASELINE.json north star: "the index is sharded across a multi-host
+TPU pod slice by hash range". ``parallel.multihost.build_distributed_index``
+gives every process a full replica (cheap searches, O(corpus) RAM per
+host); THIS module is the scale-out layout that removes that ceiling:
+
+* **Build**: each process sketches its round-robin record shard
+  (``sketch_local_shard`` — data-parallel ingest), then postings are
+  exchanged BY HASH RANGE: process p keeps only postings whose hash
+  falls in ``hash_range_for_shard(p, P, span)``. Per-process resident
+  index memory is ~N/P postings plus O(T) global metadata (names,
+  sketch sizes, abundance totals, md5s — a few dozen bytes per target).
+  The exchange runs as P rounds of range-restricted allgathers so the
+  transient buffer is also O(N/P), never O(N).
+* **Search**: queries are replicated (each process sketches the query
+  FASTA itself — queries are tiny next to the index). Every process
+  joins the query block against its LOCAL posting slice
+  (``core.search._join_tuples`` — the same join the single-host engine
+  runs, optionally device-cross-checked per shard via the sparse
+  kernel), and the per-shard co-occurrence tuples are all-gathered and
+  merged. Because every posting of a given hash lives on exactly ONE
+  shard, the union of per-shard tuple lists IS the global tuple list,
+  and the merge is a sort — ``manysearch``/``multisearch`` columns come
+  out bit-equal to the single-host engine (tested under a REAL
+  2-process ``jax.distributed`` group, tests/test_multihost_real.py).
+  Communication is RESULT-sized (one tuple per matching
+  query-hash/target co-occurrence), never index-sized.
+
+The reference is single-node (rayon threads, SURVEY.md §2.6); this
+subsystem is the TPU-native scale-out design with no counterpart to
+port. Within each process the chip-level mesh sharding of
+``parallel.dist`` still applies to the local slice (position-sharding a
+sorted posting array is itself hash-range sharding).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from .multihost import (
+    _allgather_payloads,
+    hash_range_for_shard,
+    initialize_distributed,
+    shard_of_hash,
+    sketch_local_shard,
+)
+
+
+def occupied_span(scaled: int) -> int:
+    """Extent of the occupied hash space: the FracMinHash filter keeps
+    only hashes ≤ max_hash(scaled), so ranges must split [0, max_hash]
+    — splitting the raw u64 line would leave every shard above
+    2^64/scaled empty."""
+    from ..ops.encoding import max_hash_for_scaled
+
+    return max_hash_for_scaled(scaled) + 1
+
+
+# ----------------------------------------------------------------------
+# pure exchange functions (testable by simulating several processes'
+# payloads, like multihost.pack_local_shard/merge_shards)
+# ----------------------------------------------------------------------
+
+
+def pack_target_meta(ordinals: List[int], signatures) -> dict:
+    """One process's per-record GLOBAL metadata (small; replicated on
+    every process after the exchange): ordinal, name, md5, sketch size,
+    total abundance. md5s are computed here, where the mins still live —
+    after the hash-range exchange no single process holds a whole
+    signature to hash."""
+    name_bytes = [s.name.encode("utf-8") for s in signatures]
+    name_off = np.zeros(len(name_bytes) + 1, np.int64)
+    for i, b in enumerate(name_bytes):
+        name_off[i + 1] = name_off[i] + len(b)
+    md5_blob = "".join(s.md5sum for s in signatures).encode("ascii")
+    return {
+        "ordinals": np.asarray(ordinals, np.int64),
+        "names": np.frombuffer(b"".join(name_bytes), np.uint8).copy(),
+        "name_offsets": name_off,
+        "md5s": np.frombuffer(md5_blob, np.uint8).copy(),
+        "sizes": np.asarray([len(s.mins) for s in signatures], np.int64),
+        "weights": np.asarray(
+            [int(s.abundances.sum()) for s in signatures], np.int64
+        ),
+    }
+
+
+def merge_target_meta(payloads: List[dict]):
+    """→ (names, sizes, weights, md5s) in global record order."""
+    entries = []
+    for p in payloads:
+        blob = p["names"].tobytes()
+        m5 = p["md5s"].tobytes().decode("ascii")
+        no = p["name_offsets"]
+        for i, o in enumerate(p["ordinals"].tolist()):
+            entries.append(
+                (
+                    o,
+                    blob[no[i] : no[i + 1]].decode("utf-8"),
+                    int(p["sizes"][i]),
+                    int(p["weights"][i]),
+                    m5[32 * i : 32 * (i + 1)],
+                )
+            )
+    entries.sort(key=lambda e: e[0])
+    if [e[0] for e in entries] != list(range(len(entries))):
+        raise RuntimeError(
+            "sharded build: record ordinals are not a dense 0..N-1 range "
+            "— a host shard is missing or duplicated"
+        )
+    return (
+        [e[1] for e in entries],
+        np.asarray([e[2] for e in entries], np.int64),
+        np.asarray([e[3] for e in entries], np.int64),
+        [e[4] for e in entries],
+    )
+
+
+def pack_range_postings(
+    ordinals: List[int], signatures, dest: int, n_shards: int, span: int
+) -> dict:
+    """THIS process's postings whose hash falls in shard ``dest``'s
+    range — one round of the P-round posting exchange."""
+    if signatures:
+        mins = np.concatenate([s.mins for s in signatures])
+        ab = np.concatenate([s.abundances for s in signatures]).astype(np.int64)
+        tid = np.repeat(
+            np.asarray(ordinals, np.int64),
+            [len(s.mins) for s in signatures],
+        )
+    else:
+        mins = np.zeros(0, np.uint64)
+        ab = np.zeros(0, np.int64)
+        tid = np.zeros(0, np.int64)
+    keep = shard_of_hash(mins, n_shards, span) == dest
+    return {"mins": mins[keep], "tid": tid[keep], "ab": ab[keep]}
+
+
+def build_local_inverted(payloads: List[dict], n_targets: int):
+    """Merge every process's range-d payload into shard d's local
+    ``InvertedIndex``.
+
+    The posting order is bit-equal to the global single-host build
+    restricted to the range: the global build stable-argsorts the
+    tid-ascending concatenation by hash, i.e. hash-ascending with
+    tid-ascending ties — and (hash, tid) pairs are unique, so a
+    (hash, tid) lexsort reproduces that order exactly regardless of the
+    order payloads arrive in."""
+    from ..ops.inverted import InvertedIndex
+    from ..ops.u64 import split_np
+
+    mins = np.concatenate([np.asarray(p["mins"], np.uint64) for p in payloads])
+    tid = np.concatenate([p["tid"] for p in payloads])
+    ab = np.concatenate([p["ab"] for p in payloads])
+    order = np.lexsort((tid, mins))
+    g = mins[order]
+    tid = tid[order].astype(np.int32)
+    ab = ab[order].astype(np.int32)
+    if len(g):
+        boundaries = np.flatnonzero(np.diff(g) != 0)
+        run_starts = np.concatenate([[0], boundaries + 1])
+        run_ends = np.concatenate([boundaries + 1, [len(g)]])
+        max_run = int((run_ends - run_starts).max())
+    else:
+        max_run = 1
+    g_hi, g_lo = split_np(g)
+    return InvertedIndex(g_hi, g_lo, tid, ab, n_targets, max_run).with_buckets()
+
+
+# ----------------------------------------------------------------------
+# the sharded index object + build entry point
+# ----------------------------------------------------------------------
+
+
+class ShardedProteomeIndex:
+    """Per-process view of a hash-range-sharded proteome index.
+
+    Holds the GLOBAL target metadata (names, sketch sizes, abundance
+    totals, md5s — O(T), replicated) and the LOCAL posting slice
+    (``InvertedIndex`` whose hashes fall in this process's range, with
+    GLOBAL target ids). Implements the metadata surface the column
+    assembly consumes (``__len__``, ``names_array``, ``md5_array``,
+    ``name_ranks``) so ``core.search._assemble_manysearch_columns``
+    works unchanged."""
+
+    def __init__(
+        self,
+        config,
+        names: List[str],
+        t_sizes: np.ndarray,
+        t_weight: np.ndarray,
+        md5s: List[str],
+        local,
+        shard: int,
+        n_shards: int,
+        source_fasta: str = "",
+    ):
+        self.config = config
+        self.names = list(names)
+        self.t_sizes = np.asarray(t_sizes, np.int64)
+        self.t_weight = np.asarray(t_weight, np.int64)
+        self.md5s = list(md5s)
+        self.local = local  # InvertedIndex over this shard's hash range
+        self.shard = int(shard)
+        self.n_shards = int(n_shards)
+        self.source_fasta = source_fasta
+        self._names_array = None
+        self._md5_array = None
+        self._name_ranks = None
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    @property
+    def hash_range(self) -> Tuple[int, int]:
+        return hash_range_for_shard(
+            self.shard, self.n_shards, occupied_span(self.config.scaled)
+        )
+
+    @property
+    def n_local_postings(self) -> int:
+        return self.local.n_postings
+
+    @property
+    def names_array(self) -> np.ndarray:
+        if self._names_array is None:
+            self._names_array = np.array(self.names, object)
+        return self._names_array
+
+    @property
+    def md5_array(self) -> np.ndarray:
+        if self._md5_array is None:
+            self._md5_array = np.array(self.md5s, object)
+        return self._md5_array
+
+    @property
+    def name_ranks(self) -> np.ndarray:
+        """Dense lexicographic name ranks (same contract as
+        ``ProteomeIndex.name_ranks`` — see there)."""
+        if self._name_ranks is None:
+            arr = np.asarray(self.names)
+            order = np.argsort(arr, kind="stable")
+            snames = arr[order]
+            dense = (
+                np.cumsum(
+                    np.concatenate(
+                        [[0], (snames[1:] != snames[:-1]).astype(np.int64)]
+                    )
+                )
+                if len(snames)
+                else np.zeros(0, np.int64)
+            )
+            ranks = np.empty(len(arr), np.int64)
+            ranks[order] = dense
+            self._name_ranks = ranks
+        return self._name_ranks
+
+
+def build_sharded_index(
+    fasta: str,
+    config=None,
+    *,
+    batch_size: int = 1000,
+    ambiguity_policy: str = "first",
+) -> ShardedProteomeIndex:
+    """Multi-host hash-range-sharded index build — the scale-out entry
+    point (north star: per-process resident index ≈ N/P postings).
+
+    Round-robin data-parallel sketch ingest, one small metadata
+    allgather, then P rounds of range-restricted posting allgathers
+    (round d moves only shard d's range; only process d retains it, so
+    transient buffers stay O(N/P)). On one process this degrades to a
+    full local index with zero communication."""
+    from ..core.index import IndexConfig
+
+    config = config or IndexConfig()
+    pidx, pcount = initialize_distributed()
+    ordinals, signatures = sketch_local_shard(
+        fasta, config, pidx, pcount,
+        batch_size=batch_size, ambiguity_policy=ambiguity_policy,
+    )
+    names, sizes, weights, md5s = merge_target_meta(
+        _allgather_payloads(pack_target_meta(ordinals, signatures))
+    )
+    span = occupied_span(config.scaled)
+    local = None
+    for d in range(pcount):
+        payloads = _allgather_payloads(
+            pack_range_postings(ordinals, signatures, d, pcount, span)
+        )
+        if d == pidx:
+            local = build_local_inverted(payloads, len(names))
+    return ShardedProteomeIndex(
+        config, names, sizes, weights, md5s, local, pidx, pcount,
+        source_fasta=os.path.abspath(fasta),
+    )
+
+
+# ----------------------------------------------------------------------
+# sharded search: local join per shard, result-sized tuple exchange
+# ----------------------------------------------------------------------
+
+
+class _LocalShardView:
+    """Duck-typed target for the device cross-check: ``sparse_search``
+    wants ``.inverted``; the validation bookkeeping weak-keys on
+    ``.mins`` (any stable per-index array works — the local posting
+    hashes are exactly that)."""
+
+    def __init__(self, sharded: ShardedProteomeIndex):
+        self.inverted = sharded.local
+        self.mins = sharded.local.g_hi
+
+
+def _check_params(query, sharded: ShardedProteomeIndex) -> None:
+    qc, tc = query.config, sharded.config
+    if (qc.ksize, qc.scaled, qc.moltype) != (tc.ksize, tc.scaled, tc.moltype):
+        raise ValueError("query/target sketch parameters differ")
+
+
+def _local_tuples(query, sharded: ShardedProteomeIndex):
+    """This shard's co-occurrence tuples + the local-join device
+    cross-check (each process validates its own hash range against the
+    sparse device kernel — amortized per the usual policy)."""
+    from ..core.search import (
+        _join_tuples,
+        _segments_from_tuples,
+        _validate_with_device,
+    )
+
+    inv = sharded.local
+    if inv.n_postings == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, np.zeros(len(query.mins), np.int64)
+    pq, pt, pab, qhash, qpos = _join_tuples(query, inv)
+    if len(pq):
+        local_js = _segments_from_tuples(
+            pq, pt, pab, qhash, query.mins, len(query), len(sharded), "ab", qpos
+        )
+        weighted = np.add.reduceat(local_js.pab, local_js.starts)
+        _validate_with_device(query, _LocalShardView(sharded), local_js, weighted)
+    return pq, pt, pab, qhash, qpos
+
+
+def local_manysearch_payload(query, sharded: ShardedProteomeIndex) -> dict:
+    """This shard's contribution to a manysearch: the flat
+    co-occurrence tuples of the local join, as an exchangeable dict."""
+    _check_params(query, sharded)
+    pq, pt, pab, _qhash, _qpos = _local_tuples(query, sharded)
+    return {"pq": pq, "pt": pt, "pab": pab}
+
+
+def manysearch_columns_from_payloads(
+    query, sharded: ShardedProteomeIndex, payloads: List[dict],
+    threshold: float = 0.0,
+):
+    """Merge every shard's tuple payload into the 22 manysearch columns
+    (pure — testable by simulating several shards' payloads)."""
+    from ..core.search import (
+        MANYSEARCH_COLUMNS,
+        _assemble_manysearch_columns,
+        _segments_from_tuples,
+    )
+
+    pq = np.concatenate([p["pq"] for p in payloads])
+    pt = np.concatenate([p["pt"] for p in payloads])
+    pab = np.concatenate([p["pab"] for p in payloads])
+    if len(pq) == 0:
+        return {c: [] for c in MANYSEARCH_COLUMNS}
+    js = _segments_from_tuples(
+        pq, pt, pab, np.zeros(len(pq), np.int64),
+        query.mins, len(query), len(sharded), "ab",
+        np.zeros(0, np.int64),
+    )
+    return _assemble_manysearch_columns(
+        query, sharded, js, threshold, sharded.t_sizes, sharded.t_weight
+    )
+
+
+def sharded_manysearch_columns(
+    query, sharded: ShardedProteomeIndex, threshold: float = 0.0
+):
+    """Process-level hash-range-sharded manysearch.
+
+    Every process joins the (replicated) query block against its local
+    posting slice; the per-shard tuples all-gather (RESULT-sized
+    traffic) and merge by sort — each co-occurrence lives on exactly one
+    shard, so concatenation is exact, not approximate. Output is the
+    full 22-column manysearch contract, bit-equal to single-host
+    ``manysearch_columns`` on every process."""
+    payloads = _allgather_payloads(local_manysearch_payload(query, sharded))
+    return manysearch_columns_from_payloads(query, sharded, payloads, threshold)
+
+
+def local_multisearch_payload(query, sharded: ShardedProteomeIndex) -> dict:
+    """This shard's multisearch contribution: co-occurrence tuples plus
+    per-tuple database-frequency terms (df, summed hash abundance) —
+    shard-local facts, since every posting of a hash lives on exactly
+    one shard."""
+    from ..core.search import (
+        _db_hash_stats,
+        _join_tuples,
+        _segments_from_tuples,
+        _validate_with_device,
+    )
+
+    _check_params(query, sharded)
+    inv = sharded.local
+    if inv.n_postings:
+        pq, pt, pab, qhash, qpos = _join_tuples(query, inv)
+        st_db = _db_hash_stats(inv)
+        dbpos = qpos[qhash]
+        df_t = st_db.df[dbpos].astype(np.int64)
+        dbab_t = st_db.db_ab[dbpos]
+        if len(pq):
+            local_js = _segments_from_tuples(
+                pq, pt, pab, qhash, query.mins, len(query), len(sharded),
+                "hash", qpos,
+            )
+            weighted = np.add.reduceat(local_js.pab, local_js.starts)
+            _validate_with_device(
+                query, _LocalShardView(sharded), local_js, weighted
+            )
+    else:
+        z = np.zeros(0, np.int64)
+        pq = pt = pab = qhash = df_t = z
+        dbab_t = np.zeros(0, np.float64)
+    return {
+        "pq": pq, "pt": pt, "pab": pab, "qhash": qhash, "df": df_t,
+        "dbab": dbab_t,
+    }
+
+
+def multisearch_columns_from_payloads(
+    query,
+    sharded: ShardedProteomeIndex,
+    payloads: List[dict],
+    threshold: float = 0.0,
+    estimate_prob_overlap: bool = True,
+):
+    """Merge every shard's multisearch payload into the 16 columns.
+
+    The global normalizer Σ db_ab is the total posting abundance (an
+    integer far below 2^53, so f64 summation order cannot change it) —
+    the merged scores are bit-equal to single-host
+    ``multisearch_columns``."""
+    import math
+
+    from ..core.search import MULTISEARCH_COLUMNS
+    from ..core.signature import minhash_ksize
+
+    pq = np.concatenate([p["pq"] for p in payloads])
+    pt = np.concatenate([p["pt"] for p in payloads])
+    pab = np.concatenate([p["pab"] for p in payloads])
+    qhash = np.concatenate([p["qhash"] for p in payloads])
+    df_t = np.concatenate([p["df"] for p in payloads])
+    dbab_t = np.concatenate([p["dbab"] for p in payloads])
+
+    k3 = minhash_ksize(query.config.ksize)
+    n_targets = len(sharded)
+    n_comparisons = float(len(query) * n_targets)
+    cols_all = (
+        MULTISEARCH_COLUMNS if estimate_prob_overlap else MULTISEARCH_COLUMNS[:11]
+    )
+    if len(pq) == 0:
+        return {c: [] for c in cols_all}
+
+    # merge sort in the reference's per-ascending-hash reduction order
+    qm = query.mins
+    order = np.lexsort((qm[qhash], pt, pq))
+    pq, pt, pab, qhash = pq[order], pt[order], pab[order], qhash[order]
+    df_t, dbab_t = df_t[order], dbab_t[order]
+    total = len(pq)
+    new = np.empty(total, bool)
+    new[0] = True
+    new[1:] = (pq[1:] != pq[:-1]) | (pt[1:] != pt[:-1])
+    starts = np.flatnonzero(new)
+    seg_n = np.diff(np.append(starts, total))
+    seg_id = np.cumsum(new) - 1
+    seg_q, seg_t = pq[starts], pt[starts]
+
+    # Σ db_ab over the whole corpus = total posting abundance (exact in
+    # f64: an integer < 2^53), reconstructed from the global metadata
+    sum_db_ab = float(sharded.t_weight.sum())
+    q_sizes = np.diff(query.offsets)
+    sum_q_ab = np.add.reduceat(
+        np.append(query.abundances, 0), query.offsets[:-1]
+    ).astype(np.float64)
+    tf = query.abundances[qhash].astype(np.float64) / sum_q_ab[seg_q[seg_id]]
+    prob = np.add.reduceat(tf * (dbab_t / sum_db_ab), starts)
+    tfidf = np.add.reduceat(
+        tf * (1.0 + np.log((1.0 + n_targets) / (1.0 + df_t))), starts
+    )
+
+    qs = q_sizes[seg_q]
+    ts = sharded.t_sizes[seg_t]
+    containment = seg_n / qs
+    keep = containment >= threshold
+    c_tq = seg_n / ts
+    jaccard = seg_n / (qs + ts - seg_n)
+    kept = np.flatnonzero(keep)
+    kept = kept[
+        np.lexsort(
+            (sharded.name_ranks[seg_t[kept]], query.name_ranks[seg_q[kept]])
+        )
+    ]
+
+    sq = seg_q[kept].tolist()
+    st = seg_t[kept].tolist()
+    cont_l = containment[kept].tolist()
+    n = len(sq)
+    scaled = query.config.scaled
+    moltype = query.config.moltype
+    cols = {
+        "query_name": [query.names[qi] for qi in sq],
+        "query_md5": [query.md5_for(int(qi)) for qi in sq],
+        "match_name": [sharded.names[tj] for tj in st],
+        "match_md5": [sharded.md5s[tj] for tj in st],
+        "containment": cont_l,
+        "max_containment": np.maximum(containment[kept], c_tq[kept]).tolist(),
+        "jaccard": jaccard[kept].tolist(),
+        "intersect_hashes": seg_n[kept].astype(np.float64).tolist(),
+        "ksize": [k3] * n,
+        "scaled": [scaled] * n,
+        "moltype": [moltype] * n,
+    }
+    if not estimate_prob_overlap:
+        return cols
+    prob_l = prob[kept].tolist()
+    pa_l = [p * n_comparisons for p in prob_l]
+    cols["prob_overlap"] = prob_l
+    cols["prob_overlap_adjusted"] = pa_l
+    cols["containment_adjusted"] = [
+        cont / pa if pa else 0.0 for cont, pa in zip(cont_l, pa_l)
+    ]
+    cols["containment_adjusted_log10"] = [
+        math.log10(cont / pa) if pa and cont > 0 else 0.0
+        for cont, pa in zip(cont_l, pa_l)
+    ]
+    cols["tf_idf_score"] = tfidf[kept].tolist()
+    return cols
+
+
+def sharded_multisearch_columns(
+    query,
+    sharded: ShardedProteomeIndex,
+    threshold: float = 0.0,
+    estimate_prob_overlap: bool = True,
+):
+    """Process-level hash-range-sharded multisearch (see
+    ``sharded_manysearch_columns`` for the exchange model)."""
+    payloads = _allgather_payloads(local_multisearch_payload(query, sharded))
+    return multisearch_columns_from_payloads(
+        query, sharded, payloads, threshold, estimate_prob_overlap
+    )

@@ -37,8 +37,8 @@ def _free_port() -> int:
         s.close()
 
 
-@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture missing")
-def test_two_process_group_builds_bit_equal_index(tmp_path):
+def _run_group(tmp_path, extra_args, tag: str):
+    """Spawn a real 2-process jax.distributed group; return out paths."""
     try:
         port = _free_port()
     except OSError as e:  # pragma: no cover - sandbox-dependent
@@ -47,10 +47,11 @@ def test_two_process_group_builds_bit_equal_index(tmp_path):
     coordinator = f"localhost:{port}"
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
+    outs = [str(tmp_path / f"{tag}{i}.npz") for i in range(2)]
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coordinator, "2", str(i), FIXTURE, outs[i]],
+            [sys.executable, WORKER, coordinator, "2", str(i), FIXTURE, outs[i]]
+            + extra_args,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -63,6 +64,12 @@ def test_two_process_group_builds_bit_equal_index(tmp_path):
         assert p.returncode == 0, (
             f"worker {i} failed (rc={p.returncode}):\n{out[-1500:]}\n{err[-3000:]}"
         )
+    return outs
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture missing")
+def test_two_process_group_builds_bit_equal_index(tmp_path):
+    outs = _run_group(tmp_path, [], "proc")
 
     plain = ProteomeIndex.build(FIXTURE, IndexConfig(16, 5, "hp"))
     for i, path in enumerate(outs):
@@ -75,3 +82,67 @@ def test_two_process_group_builds_bit_equal_index(tmp_path):
         assert np.array_equal(got["offsets"], plain.offsets), (
             f"proc {i} offsets differ"
         )
+
+
+QUERY = "/root/reference/tests/testdata/fasta/ced9.fasta"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(FIXTURE) and os.path.exists(QUERY)),
+    reason="fixture missing",
+)
+def test_two_process_hash_range_sharded_build_and_search(tmp_path):
+    """The north-star layout under a REAL process group: each process
+    retains only its hash range (per-process posting memory ≈ N/2), and
+    the process-level sharded manysearch/multisearch — collectives in
+    build AND search — is bit-equal to the single-host engine."""
+    outs = _run_group(tmp_path, ["sharded", QUERY], "shard")
+    got = [np.load(p) for p in outs]
+
+    from kmerseek_tpu.core.search import (
+        manysearch_columns,
+        multisearch_columns,
+    )
+    from kmerseek_tpu.parallel.multihost import hash_range_for_shard
+    from kmerseek_tpu.parallel.sharded import occupied_span
+
+    cfg = IndexConfig(16, 5, "hp")
+    plain = ProteomeIndex.build(FIXTURE, cfg)
+    inv = plain.inverted
+    n_total = inv.n_postings
+    span = occupied_span(cfg.scaled)
+
+    # --- per-process posting residency: a strict partition by range ---
+    for i, g in enumerate(got):
+        assert g["shard"].tolist() == [i, 2]
+        lo, hi = hash_range_for_shard(i, 2, span)
+        assert int(g["local_g"].min()) >= lo
+        assert int(g["local_g"].max()) < hi
+        # ≈ N/2 resident postings per process (murmur uniformity)
+        assert 0.3 * n_total < len(g["local_g"]) < 0.7 * n_total
+    assert len(got[0]["local_g"]) + len(got[1]["local_g"]) == n_total
+    assert np.array_equal(
+        np.concatenate([got[0]["local_g"], got[1]["local_g"]]), inv.g64()
+    )
+    assert np.array_equal(
+        np.concatenate([got[0]["local_tid"], got[1]["local_tid"]]), inv.tid
+    )
+
+    # --- merged search results: bit-equal on both processes ---
+    query = ProteomeIndex.build(QUERY, cfg)
+    many = manysearch_columns(query, plain)
+    multi = multisearch_columns(query, plain)
+    assert len(many["query_name"]) > 0
+    for g in got:
+        for k, e in many.items():
+            gv = g[f"many_{k}"]
+            if isinstance(e, np.ndarray):
+                assert np.array_equal(gv, e), f"many.{k}"
+            else:  # string columns (names / md5s / moltype)
+                assert gv.tolist() == e, f"many.{k}"
+        for k, e in multi.items():
+            gv = g[f"multi_{k}"]
+            if e and isinstance(e[0], str):
+                assert gv.tolist() == e, f"multi.{k}"
+            else:
+                assert np.array_equal(gv, np.asarray(e)), f"multi.{k}"
