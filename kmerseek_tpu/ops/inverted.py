@@ -511,6 +511,19 @@ def _accelerator_live() -> bool:
         return False
 
 
+# unrolled-bisect depth cap: beyond this the rounds run as a
+# ``fori_loop``. The unrolled chain lets XLA pipeline the (serial)
+# gather rounds and is what the production bucketed probes compile
+# (span_steps ≈ 7-9 at 2^20 buckets) — but XLA:CPU's fusion of a DEEP
+# unrolled chain blows up exponentially in the round count (measured
+# ~1.75x per extra round; 118 s vs 5.7 ms at 22 rounds for one warm
+# sharded block, and optimization_barrier does NOT stop it). Deep
+# bisects only occur in bucket-less full-range mode (the mesh-sharded
+# engines' local slices), where the loop's per-round overhead is noise
+# next to the HBM gathers.
+_BISECT_UNROLL_MAX = 12
+
+
 def _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, steps):
     """``steps`` rounds of vectorized binary search within [lo, hi).
 
@@ -520,13 +533,24 @@ def _bisect_rounds(g_hi, g_lo, q_hi, q_lo, lo, hi, steps):
     harmless for the dense engines (their ``p < N`` mask absorbs it)
     but fatal for the compact expansion, whose run lengths are exact
     ``ub - lb`` differences."""
-    for _ in range(steps):
+
+    def round_(lo, hi):
         mid = (lo + hi) >> 1
         mh = jnp.take(g_hi, mid, mode="clip")
         ml = jnp.take(g_lo, mid, mode="clip")
         less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
-        lo = jnp.where(less & (lo < hi), mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        return jnp.where(less & (lo < hi), mid + 1, lo), jnp.where(less, hi, mid)
+
+    if steps > _BISECT_UNROLL_MAX:
+        # tie BOTH carry legs to the (possibly mesh-sharded) posting
+        # data so the loop carry type matches the body under shard_map
+        tie = (g_hi[0] * jnp.uint32(0)).astype(lo.dtype)
+        lo, hi = jax.lax.fori_loop(
+            0, steps, lambda _, c: round_(*c), (lo + tie, hi + tie)
+        )
+        return lo
+    for _ in range(steps):
+        lo, hi = round_(lo, hi)
     return lo
 
 
@@ -561,14 +585,24 @@ def _bisect_rounds_packed(g4, q_hi, q_lo, lo, hi, steps):
     update carries the same ``lo < hi`` convergence guard as
     ``_bisect_rounds`` (see there); without it a probe above the whole
     span returns N+1, which overcounts the compact expansion's exact
-    ``ub - lb`` run lengths."""
-    for _ in range(steps):
+    ``ub - lb`` run lengths. Deep bisects run as a ``fori_loop``
+    (``_BISECT_UNROLL_MAX`` — see there)."""
+
+    def round_(lo, hi):
         mid = (lo + hi) >> 1
         row = jnp.take(g4, jnp.minimum(mid, g4.shape[0] - 1), axis=0)
         mh, ml = row[..., 0], row[..., 1]
         less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
-        lo = jnp.where(less & (lo < hi), mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        return jnp.where(less & (lo < hi), mid + 1, lo), jnp.where(less, hi, mid)
+
+    if steps > _BISECT_UNROLL_MAX:
+        tie = (g4[0, 0] * jnp.uint32(0)).astype(lo.dtype)
+        lo, hi = jax.lax.fori_loop(
+            0, steps, lambda _, c: round_(*c), (lo + tie, hi + tie)
+        )
+        return lo
+    for _ in range(steps):
+        lo, hi = round_(lo, hi)
     return lo
 
 

@@ -363,6 +363,7 @@ def sharded_sparse_search(
 
     n = mesh.devices.size
     Q, S = np.asarray(q_hi).shape
+    cap_arg = capacity  # caller's output bound (merged-list trim)
     if inv.n_postings == 0:
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
@@ -426,7 +427,10 @@ def sharded_sparse_search(
     parts = []
     for off in range(0, max_run, tile):
         parts.extend(run_tile(off, int(capacity), expand_e))
-    return _merge_partial_hits(parts, None)
+    # an explicit caller capacity also trims the MERGED list (n_hits
+    # keeps the true unique-pair count) — same contract as the
+    # unsharded engine's run-offset tiling
+    return _merge_partial_hits(parts, cap_arg)
 
 
 def distributed_manysearch_stats(query_index, target_index, mesh: Mesh | None = None):
