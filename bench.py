@@ -270,7 +270,11 @@ def _device_healthy(deadline_s: int = 75) -> bool:
 # then a CPU fallback — the driver always gets a JSON line, and the
 # accelerator gets ~25 min of chances to come back.
 _TOTAL_BUDGET_S = int(os.environ.get("KMERSEEK_BENCH_BUDGET_S", "2100"))
-_CHILD_BUDGET_S = int(os.environ.get("KMERSEEK_BENCH_CHILD_BUDGET_S", "870"))
+# one fat attempt rather than two thin ones: the leg list has grown
+# (search, manysearch/multisearch e2e, extract+stitch, sparse +
+# production-cold child) and every leg upgrades the SAME progressive
+# JSON line — a wedged attempt still leaves the last upgrade printed
+_CHILD_BUDGET_S = int(os.environ.get("KMERSEEK_BENCH_CHILD_BUDGET_S", "1500"))
 _CPU_RESERVE_S = 240  # kept back for the in-process CPU fallback
 _MEASURE_MIN_S = 270  # probe loop must leave this much for the measurement
 
@@ -428,6 +432,32 @@ def _run_and_print_progressive(backend: str, search_deadline: float | None = Non
             print(json.dumps(result), flush=True)
         except Exception as e:
             print(f"manysearch e2e measurement failed: {e!r}", file=sys.stderr)
+    # multisearch e2e (prob_overlap/tf_idf scoring) — same corpus scale
+    if search_deadline is None or time.monotonic() + 120 < search_deadline:
+        try:
+            from bench_search import measure_multisearch
+
+            s = measure_multisearch(backend)
+            result["detail"]["multisearch_end_to_end_queries_per_second"] = s[
+                "value"
+            ]
+            result["detail"]["multisearch_end_to_end"] = s["detail"]
+            print(json.dumps(result), flush=True)
+        except Exception as e:
+            print(f"multisearch measurement failed: {e!r}", file=sys.stderr)
+    # --extract-kmers sidecar + streaming stitch on the 2841-seq corpus
+    if search_deadline is None or time.monotonic() + 240 < search_deadline:
+        try:
+            from bench_search import measure_extract_stitch
+
+            s = measure_extract_stitch(backend)
+            result["detail"]["extract_stitch_sidecar_rows_per_second"] = s[
+                "value"
+            ]
+            result["detail"]["extract_stitch"] = s["detail"]
+            print(json.dumps(result), flush=True)
+        except Exception as e:
+            print(f"extract+stitch measurement failed: {e!r}", file=sys.stderr)
     # BASELINE.json names "queries/s on UniProt-scale index": the sparse
     # hit-list engine vs a 524k-target / ~50M-posting synthetic corpus.
     # Heaviest step (host build ~40 s + compile), so it runs last and

@@ -50,6 +50,15 @@ def enable_compilation_cache() -> None:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+            # also export to the environment so SUBPROCESSES (bench
+            # cold-start children, CLI re-invocations) share the cache
+            os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+            os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
+            )
+            os.environ.setdefault(
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5"
+            )
         else:
             if "KMERSEEK_JAX_CACHE" in os.environ:
                 # an explicit kmerseek cache dir must win over any
