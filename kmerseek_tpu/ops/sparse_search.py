@@ -100,7 +100,9 @@ def _sparse_hits_core(
     wide_weights: bool = True,
     compact_io: bool = False,
     t16: bool = False,
+    tc32: bool = False,
     w16: bool = False,
+    true_max_run: int | None = None,
 ):
     """Traced body shared by the single-block and scan-chunked kernels.
 
@@ -125,6 +127,8 @@ def _sparse_hits_core(
     """
     Q, S = q_hi.shape
     N = g4.shape[0]
+    if true_max_run is None:
+        true_max_run = max_run  # not tiling: the window IS the run bound
     if w16 and wide_weights:
         # the (capacity, 2) limb accumulators exist precisely because
         # lo-limb sums can reach S*0xFFFF; truncating them to int16
@@ -183,7 +187,22 @@ def _sparse_hits_core(
         wrapped = (q_hi == jnp.uint32(0xFFFFFFFF)) & (
             q_lo == jnp.uint32(0xFFFFFFFF)
         )
-        ub = lower_bound(hi1, lo1)
+        # the second probe needs only the span [pos, pos + true_max_run]:
+        # a run of equal hashes can never exceed the corpus' build-time
+        # max run, so ub always lands there — log2(max_run) bisect
+        # rounds instead of re-searching the whole bucket span (the two
+        # probes were ~half the kernel's gather budget; measured on-chip
+        # r4). ``max_run`` here may be a run-offset TILE width; the true
+        # run bound is the index-wide ``true_max_run``.
+        ub_steps = max(int(true_max_run).bit_length(), 1)
+        ub = _bisect_rounds_packed(
+            g4,
+            hi1,
+            lo1,
+            pos,
+            jnp.minimum(pos + jnp.int32(true_max_run), N),
+            ub_steps,
+        )
         ub = jnp.where(wrapped, jnp.int32(N), ub)
         cnt = jnp.where(q_valid, ub - pos, 0)
         # run-offset window [run_offset, run_offset + max_run)
@@ -251,6 +270,13 @@ def _sparse_hits_core(
         counts = counts.astype(jnp.int16)
     if t16:  # n_targets < 2^15: target ids (sentinel included) fit too
         t_out = t_out.astype(jnp.int16)
+    elif tc32:
+        # n_targets < 2^24 and S < 256 (so count ≤ S fits a byte): pack
+        # (t << 8) | count into ONE u32 — the dispatcher then skips the
+        # counts fetch entirely, cutting 10 B/hit to 8 over the tunnel
+        t_out = (t_out.astype(jnp.uint32) << jnp.uint32(8)) | counts.astype(
+            jnp.uint32
+        ) & jnp.uint32(0xFF)
     if w16:  # S·max_ab < 2^15: narrow weights fit int16 as well
         weights = weights.astype(jnp.int16)
     return q_out, t_out, counts, weights, stats
@@ -260,7 +286,8 @@ def _sparse_hits_core(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e", "wide_weights", "compact_io", "t16", "w16",
+        "expand_e", "wide_weights", "compact_io", "t16", "tc32", "w16",
+        "true_max_run",
     ),
 )
 def inverted_sparse_hits(
@@ -280,7 +307,9 @@ def inverted_sparse_hits(
     wide_weights: bool = True,
     compact_io: bool = False,
     t16: bool = False,
+    tc32: bool = False,
     w16: bool = False,
+    true_max_run: int | None = None,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
 
@@ -321,7 +350,9 @@ def inverted_sparse_hits(
         wide_weights=wide_weights,
         compact_io=compact_io,
         t16=t16,
+        tc32=tc32,
         w16=w16,
+        true_max_run=true_max_run,
     )
 
 
@@ -329,7 +360,8 @@ def inverted_sparse_hits(
     jax.jit,
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
-        "expand_e", "wide_weights", "compact_io", "t16", "w16",
+        "expand_e", "wide_weights", "compact_io", "t16", "tc32", "w16",
+        "true_max_run",
     ),
 )
 def inverted_sparse_hits_chunks(
@@ -349,7 +381,9 @@ def inverted_sparse_hits_chunks(
     wide_weights: bool = True,
     compact_io: bool = False,
     t16: bool = False,
+    tc32: bool = False,
     w16: bool = False,
+    true_max_run: int | None = None,
 ):
     """All query chunks in ONE compiled program via ``lax.scan``.
 
@@ -380,7 +414,9 @@ def inverted_sparse_hits_chunks(
             wide_weights=wide_weights,
             compact_io=compact_io,
             t16=t16,
+            tc32=tc32,
             w16=w16,
+            true_max_run=true_max_run,
         )
         return carry, out
 
@@ -562,6 +598,20 @@ def _note_hp(inv: InvertedIndex, shape: tuple, hp: int) -> None:
     )
 
 
+def _mk_hits(qa, ta, ca, wa, n, wide, tc_32) -> SparseHits:
+    """Host views -> SparseHits, unpacking the (t << 8) | count u32
+    transport when the tc32 flag was in effect (counts never fetched)."""
+    if tc_32:
+        t = (ta >> np.uint32(8)).astype(np.int32)
+        c = (ta & np.uint32(0xFF)).astype(np.int32)
+    else:
+        t = ta.astype(np.int32)
+        c = ca.astype(np.int32)
+    return SparseHits(
+        qa.astype(np.int32), t, c, _weights_int64(wa, wide), n
+    )
+
+
 def _start_async_fetch(views) -> None:
     for v in views:
         try:
@@ -594,6 +644,7 @@ def _sparse_single(
     wide = _wide_weights_needed(inv, Sn)
     c_io = Qn < 2**15 and Sn < 2**15  # int16 q/count transfer
     t_16 = binv.n_targets < 2**15
+    tc_32 = (not t_16) and binv.n_targets < 2**24 and Sn < 256
     w_16 = not wide and Sn * max(_max_abundance(inv), 1) < 2**15
 
     def run(cap: int, e):
@@ -613,7 +664,9 @@ def _sparse_single(
             wide_weights=wide,
             compact_io=c_io,
             t16=t_16,
+            tc32=tc_32,
             w16=w_16,
+            true_max_run=int(inv.max_run),
         )
 
     q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
@@ -625,7 +678,11 @@ def _sparse_single(
     opt = None
     if hv is not None:
         hv = min(int(hv), int(capacity))
-        opt = (q_out[:hv], t_out[:hv], counts[:hv], weights[:hv])
+        opt = (
+            (q_out[:hv], t_out[:hv], weights[:hv])
+            if tc_32
+            else (q_out[:hv], t_out[:hv], counts[:hv], weights[:hv])
+        )
         _start_async_fetch(opt)
     n, m = (int(v) for v in np.asarray(stats))
     if expand_e is not None and m > expand_e:
@@ -651,18 +708,24 @@ def _sparse_single(
     hp = _trim_len(h, capacity)
     _note_hp(inv, shape_key, hp)
     if opt is not None and h <= hv:
-        qo, to, co, wo = (np.asarray(v) for v in opt)
-        return SparseHits(
-            qo[:h].astype(np.int32), to[:h].astype(np.int32),
-            co[:h].astype(np.int32), _weights_int64(wo[:h], wide), n,
+        vs = [np.asarray(v)[:h] for v in opt]
+        if tc_32:
+            qo, to, wo = vs
+            co = None
+        else:
+            qo, to, co, wo = vs
+        return _mk_hits(qo, to, co, wo, n, wide, tc_32)
+    if tc_32:
+        views = (q_out[:hp], t_out[:hp], weights[:hp])
+        _start_async_fetch(views)
+        qo, to, wo = (np.asarray(v)[:h] for v in views)
+        co = None
+    else:
+        qo, to, co, wo = (
+            np.asarray(v)[:h]
+            for v in (q_out[:hp], t_out[:hp], counts[:hp], weights[:hp])
         )
-    return SparseHits(
-        np.asarray(q_out[:hp])[:h].astype(np.int32),
-        np.asarray(t_out[:hp])[:h].astype(np.int32),
-        np.asarray(counts[:hp])[:h].astype(np.int32),
-        _weights_int64(np.asarray(weights[:hp])[:h], wide),
-        n,
-    )
+    return _mk_hits(qo, to, co, wo, n, wide, tc_32)
 
 
 # total output-slot budget for one scan launch (C · capacity): bounds
@@ -721,6 +784,7 @@ def _sparse_chunks(
     wide = _wide_weights_needed(inv, int(S))
     c_io = int(Qc) < 2**15 and int(S) < 2**15
     t_16 = binv.n_targets < 2**15
+    tc_32 = (not t_16) and binv.n_targets < 2**24 and int(S) < 256
     w_16 = not wide and int(S) * max(_max_abundance(inv), 1) < 2**15
 
     def run(e):
@@ -740,7 +804,9 @@ def _sparse_chunks(
             wide_weights=wide,
             compact_io=c_io,
             t16=t_16,
+            tc32=tc_32,
             w16=w_16,
+            true_max_run=int(inv.max_run),
         )
 
     q_out, t_out, counts, weights, stats = run(expand_e)
@@ -752,7 +818,9 @@ def _sparse_chunks(
     if hv is not None:
         hv = min(int(hv), int(cap))
         opt = (
-            q_out[:, :hv], t_out[:, :hv], counts[:, :hv], weights[:, :hv]
+            (q_out[:, :hv], t_out[:, :hv], weights[:, :hv])
+            if tc_32
+            else (q_out[:, :hv], t_out[:, :hv], counts[:, :hv], weights[:, :hv])
         )
         _start_async_fetch(opt)
     nm = np.asarray(stats)  # (C, 2): the single host sync for every chunk
@@ -775,9 +843,17 @@ def _sparse_chunks(
     if opt is not None and int(hs.max()) <= hv:
         views = opt
     else:
-        views = (q_out[:, :hp], t_out[:, :hp], counts[:, :hp], weights[:, :hp])
-        _start_async_fetch(views)  # overlap the four transfers
-    qa, ta, ca, wa = (np.asarray(v) for v in views)
+        views = (
+            (q_out[:, :hp], t_out[:, :hp], weights[:, :hp])
+            if tc_32
+            else (q_out[:, :hp], t_out[:, :hp], counts[:, :hp], weights[:, :hp])
+        )
+        _start_async_fetch(views)  # overlap the transfers
+    if tc_32:
+        qa, ta, wa = (np.asarray(v) for v in views)
+        ca = None
+    else:
+        qa, ta, ca, wa = (np.asarray(v) for v in views)
     parts = []
     for c in range(C):
         nc, h = int(n[c]), int(hs[c])
@@ -796,10 +872,10 @@ def _sparse_chunks(
             )
             continue
         parts.append(
-            SparseHits(
-                qa[c, :h].astype(np.int32), ta[c, :h].astype(np.int32),
-                ca[c, :h].astype(np.int32),
-                _weights_int64(wa[c, :h], wide), nc,
+            _mk_hits(
+                qa[c, :h], ta[c, :h],
+                None if tc_32 else ca[c, :h],
+                wa[c, :h], nc, wide, tc_32,
             )
         )
     return parts

@@ -269,6 +269,8 @@ def _sharded_sparse_program(mesh: Mesh, inv):
     g4 = jax.device_put(g4, NamedSharding(mesh, P(AXIS, None)))
     n_targets = inv.n_targets
 
+    tmr = int(inv.max_run)  # index-wide run bound (ub-probe span)
+
     @_ft.partial(jax.jit, static_argnames=("cap", "e", "mr", "wide"))
     def run(g4, q_hi, q_lo, q_valid, off, cap: int, e, mr: int, wide: bool = True):
         # ``off`` is traced (one compiled program covers every run-offset
@@ -288,6 +290,7 @@ def _sharded_sparse_program(mesh: Mesh, inv):
                 run_offset=off,
                 expand_e=e,
                 wide_weights=wide,
+                true_max_run=tmr,
             )
             return (
                 q_out[None],

@@ -744,3 +744,30 @@ def test_trim_len_quantization():
         if 128 <= h <= cap:
             assert t <= max(h + (h >> 2), 128)
     assert _trim_len(5_000_000, cap) == cap
+
+
+def test_tc32_packed_transport_bit_equal():
+    """n_targets in [2^15, 2^24) with S < 256 engages the (t << 8)|count
+    u32 transport (counts never fetched); results must equal the dense
+    oracle bit-for-bit, including the ub-probe narrowing."""
+    from kmerseek_tpu.ops.inverted import inverted_search
+
+    rng = np.random.default_rng(77)
+    pool = np.unique(
+        rng.integers(0, 2**62, size=4096, dtype=np.uint64)
+    )
+    T = 40_000  # >= 2^15: t16 impossible, tc32 engages
+    target = _mk_index(T, 6, pool, 78)
+    query = _mk_index(64, 15, pool, 79)
+    q_hi, q_lo, q_valid = _query_block(query)
+    assert len(target) >= 2**15
+    hits = sparse_search(target, q_hi, q_lo, q_valid)
+    c, w = inverted_search(target, q_hi, q_lo, q_valid)
+    n_d, w_d = _densify(hits, len(query), len(target))
+    assert np.array_equal(n_d, np.asarray(c).astype(np.int64))
+    assert np.array_equal(w_d, np.asarray(w).astype(np.int64))
+    assert hits.n_hits == int((np.asarray(c) > 0).sum())
+    # chunked path too (scan kernel, same transport)
+    hits2 = sparse_search(target, q_hi, q_lo, q_valid, q_chunk=16)
+    n2, w2 = _densify(hits2, len(query), len(target))
+    assert np.array_equal(n2, n_d) and np.array_equal(w2, w_d)
