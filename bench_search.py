@@ -52,8 +52,12 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
                    sketch: int = SKETCH, iters: int = 5) -> dict:
     """Measure manysearch device scoring throughput on the CURRENT backend.
 
-    Assumes the backend is already selected/probed by the caller;
-    returns the result dict (same shape as this script's JSON line)."""
+    Block-size autotune: the dense engine's per-query cost falls with
+    bigger query blocks (more independent gather lanes per dispatch —
+    measured on-chip r4: 73.6k q/s at Q=1024 vs 80.7k at Q=2048, same
+    window), so both block sizes are measured and the better one is the
+    headline — that is the production choice a server makes per
+    workload. Per-block figures stay in the detail."""
     import jax
     import jax.numpy as jnp
 
@@ -63,10 +67,9 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
         inverted_pair_stats_packed,
     )
 
-    TARGETS_, QUERIES_, SKETCH_ = targets, queries, sketch
+    TARGETS_, SKETCH_ = targets, sketch
     rng = np.random.default_rng(0)
     t_hi, t_lo, t_ab, t_c = _mk(rng, TARGETS_, SKETCH_)
-    q_hi, q_lo, _q_ab, q_c = _mk(rng, QUERIES_, SKETCH_)
 
     # flatten targets into the inverted posting arrays (host, once)
     mask = np.arange(SKETCH_)[None, :] < t_c[:, None]
@@ -78,42 +81,51 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     dev = jax.device_put
     # production device layout: packed (N, 4) postings + bucket table
     binv, g4, starts = device_postings(inv)
-    q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
-    q_valid = dev(np.arange(SKETCH_)[None, :] < q_c[:, None])
-
     red = jax.jit(lambda c, w, d: c.sum() + w.sum() + d)
 
-    def step(dep):
-        c, w = inverted_pair_stats_packed(
-            g4, starts, q_hi_d, q_lo_d,
-            q_valid & (dep >= 0),
-            n_targets=binv.n_targets, max_run=binv.max_run,
-            span_steps=max(int(binv.max_span).bit_length(), 1),
-            bucket_shift=binv.bucket_shift,
-        )
-        return red(c, w, dep)
+    per_block = {}
+    best = None
+    for Q in (queries, 2 * queries):
+        q_hi, q_lo, _q_ab, q_c = _mk(rng, Q, SKETCH_)
+        q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
+        q_valid = dev(np.arange(SKETCH_)[None, :] < q_c[:, None])
 
-    t0 = time.perf_counter()
-    warm = int(step(jnp.int32(0)))
-    compile_s = time.perf_counter() - t0
+        def step(dep):
+            c, w = inverted_pair_stats_packed(
+                g4, starts, q_hi_d, q_lo_d,
+                q_valid & (dep >= 0),
+                n_targets=binv.n_targets, max_run=binv.max_run,
+                span_steps=max(int(binv.max_span).bit_length(), 1),
+                bucket_shift=binv.bucket_shift,
+            )
+            return red(c, w, dep)
 
-    t0 = time.perf_counter()
-    dep = jnp.int32(0)
-    for _ in range(iters):
-        dep = step(dep)
-    final = int(dep)
-    dt = (time.perf_counter() - t0) / iters
-    assert warm >= 0 and final >= 0
+        t0 = time.perf_counter()
+        warm = int(step(jnp.int32(0)))
+        compile_s = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        dep = jnp.int32(0)
+        for _ in range(iters):
+            dep = step(dep)
+        final = int(dep)
+        dt = (time.perf_counter() - t0) / iters
+        assert warm >= 0 and final >= 0
+        per_block[Q] = {"queries_per_second": Q / dt, "compile_s": compile_s}
+        if best is None or Q / dt > best[1]:
+            best = (Q, Q / dt, dt, compile_s)
+
+    Qb, qps, dt, compile_s = best
     return {
         "metric": "search_queries_per_second",
-        "value": QUERIES_ / dt,
+        "value": qps,
         "unit": "queries/s",
         "detail": {
             "targets": TARGETS_,
-            "queries": QUERIES_,
+            "queries": Qb,
+            "block_autotune": {str(q): v for q, v in per_block.items()},
             "sketch_slots": SKETCH_,
-            "pairs_per_s": QUERIES_ * TARGETS_ / dt,
+            "pairs_per_s": Qb * TARGETS_ / dt,
             "compile_s": compile_s,
             "backend": f"{jax.default_backend()} ({backend_label})",
         },
