@@ -102,6 +102,8 @@ def _sparse_hits_core(
     t16: bool = False,
     tc32: bool = False,
     w16: bool = False,
+    q_bounds: bool = False,
+    skip_weights: bool = False,
     true_max_run: int | None = None,
 ):
     """Traced body shared by the single-block and scan-chunked kernels.
@@ -175,8 +177,12 @@ def _sparse_hits_core(
         t = jnp.where(match, row[..., 2].astype(jnp.int32), jnp.int32(n_targets))
         q = jax.lax.broadcasted_iota(jnp.int32, (max_run, Q, S), 1)
         q_key = jnp.where(match, q, jnp.int32(Q))  # sentinel: sinks to end
-        w = jnp.where(match, row[..., 3].astype(jnp.int32), 0)
-        q_key, t, w = q_key.reshape(-1), t.reshape(-1), w.reshape(-1)
+        w = (
+            None
+            if skip_weights
+            else jnp.where(match, row[..., 3].astype(jnp.int32), 0).reshape(-1)
+        )
+        q_key, t = q_key.reshape(-1), t.reshape(-1)
         m_total = jnp.sum(match.astype(jnp.int32))
     else:
         E = expand_e
@@ -223,12 +229,21 @@ def _sparse_hits_core(
         row = jnp.take(g4, jnp.clip(idx, 0, N - 1), axis=0)  # (E, 4)
         t = jnp.where(valid_t, row[:, 2].astype(jnp.int32), jnp.int32(n_targets))
         q_key = jnp.where(valid_t, probe // jnp.int32(S), jnp.int32(Q))
-        w = jnp.where(valid_t, row[:, 3].astype(jnp.int32), 0)
+        w = (
+            None
+            if skip_weights
+            else jnp.where(valid_t, row[:, 3].astype(jnp.int32), 0)
+        )
 
     # one lexicographic sort groups equal (q, t) pairs contiguously.
     # unstable: within-segment order of w is irrelevant (everything
-    # downstream is a permutation-invariant segment sum)
-    sq, st, sw = jax.lax.sort((q_key, t, w), num_keys=2, is_stable=False)
+    # downstream is a permutation-invariant segment sum). skip_weights
+    # drops the weight payload from the sort entirely (weight ≡ count).
+    if skip_weights:
+        sq, st = jax.lax.sort((q_key, t), num_keys=2, is_stable=False)
+        sw = None
+    else:
+        sq, st, sw = jax.lax.sort((q_key, t, w), num_keys=2, is_stable=False)
     valid = sq < Q
     prev_q = jnp.concatenate([jnp.full((1,), -1, sq.dtype), sq[:-1]])
     prev_t = jnp.concatenate([jnp.full((1,), -1, st.dtype), st[:-1]])
@@ -248,12 +263,18 @@ def _sparse_hits_core(
     # high-abundance corpora. Narrow path (callers prove
     # S · max_abundance < 2^31 via ``_wide_weights_needed``): one int32
     # scatter-add, saving a full-length scatter in the kernel tail.
-    wv = jnp.where(valid, sw, 0)
-    if wide_weights:
+    if skip_weights:
+        # caller proved max_abundance == 1: every matched posting
+        # contributes weight 1, so weight ≡ count exactly — the weight
+        # scatter AND its host fetch vanish (hosts use the counts)
+        weights = jnp.zeros((0,), jnp.int32)
+    elif wide_weights:
+        wv = jnp.where(valid, sw, 0)
         weights = jnp.zeros((capacity, 2), jnp.int32)
         weights = weights.at[slot, 0].add(wv & jnp.int32(0xFFFF), mode="drop")
         weights = weights.at[slot, 1].add(wv >> jnp.int32(16), mode="drop")
     else:
+        wv = jnp.where(valid, sw, 0)
         weights = jnp.zeros(capacity, jnp.int32).at[slot].add(wv, mode="drop")
     head_slot = jnp.where(head, seg, capacity)
     q_out = jnp.full(capacity, Q, jnp.int32).at[head_slot].set(sq, mode="drop")
@@ -261,12 +282,24 @@ def _sparse_hits_core(
         st, mode="drop"
     )
     stats = jnp.stack([n_hits, m_total.astype(jnp.int32)])
+    if q_bounds:
+        # hits sit in (q, t)-ascending slots with q = Q sentinels past
+        # the hit count, so q_out is monotone: its per-query boundary
+        # vector b[i] = #hits with q ≤ i ((Q,) int32, ~2 KB) replaces
+        # the (H,)-length q column over the tunnel entirely — hosts
+        # reconstruct q by run lengths (``_q_from_bounds``). A bounded
+        # bisect (Q lanes × log2(capacity) rounds) — not a scatter.
+        q_out = jnp.searchsorted(
+            q_out, jnp.arange(1, Q + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
     if compact_io:
         # host fetch rides a ~40 MB/s tunnel: q (≤ Q < 2^15) and count
         # (≤ S < 2^15) downcast to int16 AFTER the scatters (two
         # elementwise passes, ~free on device) — 25% fewer fetched
-        # bytes per hit slot; hosts upcast on arrival
-        q_out = q_out.astype(jnp.int16)
+        # bytes per hit slot; hosts upcast on arrival. (The q-bounds
+        # vector stays int32: boundary values reach the hit count.)
+        if not q_bounds:
+            q_out = q_out.astype(jnp.int16)
         counts = counts.astype(jnp.int16)
     if t16:  # n_targets < 2^15: target ids (sentinel included) fit too
         t_out = t_out.astype(jnp.int16)
@@ -287,7 +320,7 @@ def _sparse_hits_core(
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
         "expand_e", "wide_weights", "compact_io", "t16", "tc32", "w16",
-        "true_max_run",
+        "q_bounds", "skip_weights", "true_max_run",
     ),
 )
 def inverted_sparse_hits(
@@ -309,6 +342,8 @@ def inverted_sparse_hits(
     t16: bool = False,
     tc32: bool = False,
     w16: bool = False,
+    q_bounds: bool = False,
+    skip_weights: bool = False,
     true_max_run: int | None = None,
 ):
     """Device kernel: bounded sparse (q, t, count, weight) hit list.
@@ -352,6 +387,8 @@ def inverted_sparse_hits(
         t16=t16,
         tc32=tc32,
         w16=w16,
+        q_bounds=q_bounds,
+        skip_weights=skip_weights,
         true_max_run=true_max_run,
     )
 
@@ -361,7 +398,7 @@ def inverted_sparse_hits(
     static_argnames=(
         "n_targets", "max_run", "capacity", "span_steps", "bucket_shift",
         "expand_e", "wide_weights", "compact_io", "t16", "tc32", "w16",
-        "true_max_run",
+        "q_bounds", "skip_weights", "true_max_run",
     ),
 )
 def inverted_sparse_hits_chunks(
@@ -383,6 +420,8 @@ def inverted_sparse_hits_chunks(
     t16: bool = False,
     tc32: bool = False,
     w16: bool = False,
+    q_bounds: bool = False,
+    skip_weights: bool = False,
     true_max_run: int | None = None,
 ):
     """All query chunks in ONE compiled program via ``lax.scan``.
@@ -416,6 +455,8 @@ def inverted_sparse_hits_chunks(
             t16=t16,
             tc32=tc32,
             w16=w16,
+            q_bounds=q_bounds,
+            skip_weights=skip_weights,
             true_max_run=true_max_run,
         )
         return carry, out
@@ -443,6 +484,14 @@ _EXPAND_CACHE_SLOTS = 64
 # compact expansion on by default; None falls back to the rectangular
 # (max_run, Q, S) expansion (kept for A/B tests and tiny blocks)
 COMPACT_EXPANSION = True
+# q-bounds transport on by default: the per-hit q column is replaced by
+# a (Q,) boundary vector over the tunnel (hosts reconstruct q by run
+# lengths — exact). Off falls back to fetching the q column (A/B tests).
+Q_BOUNDS_IO = True
+# weight elision on unit-abundance corpora: when max_abundance == 1,
+# weight ≡ count exactly — the kernel skips the weight sort payload +
+# scatter and the host skips the weight fetch. Off for A/B tests.
+SKIP_W_UNIT_AB = True
 
 
 def _pow2(x: int) -> int:
@@ -598,18 +647,46 @@ def _note_hp(inv: InvertedIndex, shape: tuple, hp: int) -> None:
     )
 
 
-def _mk_hits(qa, ta, ca, wa, n, wide, tc_32) -> SparseHits:
-    """Host views -> SparseHits, unpacking the (t << 8) | count u32
-    transport when the tc32 flag was in effect (counts never fetched)."""
+def _q_from_bounds(bounds: np.ndarray, h: int) -> np.ndarray:
+    """Reconstruct the (h,) q column from the kernel's (Q,) boundary
+    vector (bounds[i] = #hits with q ≤ i; hits are (q, t)-ascending, so
+    run-length expansion is exact; a capacity-truncated list drops only
+    tail hits, so clipping the cumulative bounds at h stays exact)."""
+    b = np.minimum(bounds.astype(np.int64), int(h))
+    reps = np.diff(np.concatenate([[0], b]))
+    return np.repeat(np.arange(len(bounds), dtype=np.int32), reps)
+
+
+def _hit_views(q_out, t_out, counts, weights, sl, tc_32, q_b, skip_w):
+    """The device-side buffer views one fetch needs for hit slots
+    [:sl]. The q-bounds vector is (Q,)-sized and fetched whole; the
+    tc32 packed t carries counts; skip_w drops the weight fetch."""
+    vs = [q_out if q_b else q_out[:sl], t_out[:sl]]
+    if not tc_32:
+        vs.append(counts[:sl])
+    if not skip_w:
+        vs.append(weights[:sl])
+    return vs
+
+
+def _mk_hits(vs, h, n, wide, tc_32, q_b, skip_w) -> SparseHits:
+    """Fetched views (``_hit_views`` order) -> SparseHits: upcast the
+    int16 transports, unpack (t << 8) | count, reconstruct q from the
+    boundary vector, and materialize weight ≡ count when elided."""
+    it = iter(vs)
+    qa = np.asarray(next(it))
+    ta = np.asarray(next(it))[:h]
+    ca = None if tc_32 else np.asarray(next(it))[:h]
+    wa = None if skip_w else np.asarray(next(it))[:h]
+    qa = _q_from_bounds(qa, h) if q_b else qa[:h].astype(np.int32)
     if tc_32:
         t = (ta >> np.uint32(8)).astype(np.int32)
         c = (ta & np.uint32(0xFF)).astype(np.int32)
     else:
         t = ta.astype(np.int32)
         c = ca.astype(np.int32)
-    return SparseHits(
-        qa.astype(np.int32), t, c, _weights_int64(wa, wide), n
-    )
+    w = c.astype(np.int64) if skip_w else _weights_int64(wa, wide)
+    return SparseHits(qa, t, c, w, n)
 
 
 def _start_async_fetch(views) -> None:
@@ -641,11 +718,15 @@ def _sparse_single(
     binv, g4, bucket_starts = device_postings(inv)
     Qn, Sn = int(Q), int(S)
     expand_e = _expand_budget(inv, Qn, Sn, max_run)
-    wide = _wide_weights_needed(inv, Sn)
+    skip_w = SKIP_W_UNIT_AB and _max_abundance(inv) == 1
+    wide = (not skip_w) and _wide_weights_needed(inv, Sn)
     c_io = Qn < 2**15 and Sn < 2**15  # int16 q/count transfer
     t_16 = binv.n_targets < 2**15
     tc_32 = (not t_16) and binv.n_targets < 2**24 and Sn < 256
-    w_16 = not wide and Sn * max(_max_abundance(inv), 1) < 2**15
+    w_16 = (
+        not skip_w and not wide and Sn * max(_max_abundance(inv), 1) < 2**15
+    )
+    q_b = Q_BOUNDS_IO
 
     def run(cap: int, e):
         return inverted_sparse_hits(
@@ -666,6 +747,8 @@ def _sparse_single(
             t16=t_16,
             tc32=tc_32,
             w16=w_16,
+            q_bounds=q_b,
+            skip_weights=skip_w,
             true_max_run=int(inv.max_run),
         )
 
@@ -678,11 +761,7 @@ def _sparse_single(
     opt = None
     if hv is not None:
         hv = min(int(hv), int(capacity))
-        opt = (
-            (q_out[:hv], t_out[:hv], weights[:hv])
-            if tc_32
-            else (q_out[:hv], t_out[:hv], counts[:hv], weights[:hv])
-        )
+        opt = _hit_views(q_out, t_out, counts, weights, hv, tc_32, q_b, skip_w)
         _start_async_fetch(opt)
     n, m = (int(v) for v in np.asarray(stats))
     if expand_e is not None and m > expand_e:
@@ -708,24 +787,10 @@ def _sparse_single(
     hp = _trim_len(h, capacity)
     _note_hp(inv, shape_key, hp)
     if opt is not None and h <= hv:
-        vs = [np.asarray(v)[:h] for v in opt]
-        if tc_32:
-            qo, to, wo = vs
-            co = None
-        else:
-            qo, to, co, wo = vs
-        return _mk_hits(qo, to, co, wo, n, wide, tc_32)
-    if tc_32:
-        views = (q_out[:hp], t_out[:hp], weights[:hp])
-        _start_async_fetch(views)
-        qo, to, wo = (np.asarray(v)[:h] for v in views)
-        co = None
-    else:
-        qo, to, co, wo = (
-            np.asarray(v)[:h]
-            for v in (q_out[:hp], t_out[:hp], counts[:hp], weights[:hp])
-        )
-    return _mk_hits(qo, to, co, wo, n, wide, tc_32)
+        return _mk_hits(opt, h, n, wide, tc_32, q_b, skip_w)
+    views = _hit_views(q_out, t_out, counts, weights, hp, tc_32, q_b, skip_w)
+    _start_async_fetch(views)
+    return _mk_hits(views, h, n, wide, tc_32, q_b, skip_w)
 
 
 # total output-slot budget for one scan launch (C · capacity): bounds
@@ -781,11 +846,27 @@ def _sparse_chunks(
     cap = max(((cap + 127) // 128) * 128, 128)
     binv, g4, bucket_starts = device_postings(inv)
     expand_e = _expand_budget(inv, int(Qc), int(S), max_run)
-    wide = _wide_weights_needed(inv, int(S))
+    skip_w = SKIP_W_UNIT_AB and _max_abundance(inv) == 1
+    wide = (not skip_w) and _wide_weights_needed(inv, int(S))
     c_io = int(Qc) < 2**15 and int(S) < 2**15
     t_16 = binv.n_targets < 2**15
     tc_32 = (not t_16) and binv.n_targets < 2**24 and int(S) < 256
-    w_16 = not wide and int(S) * max(_max_abundance(inv), 1) < 2**15
+    w_16 = (
+        not skip_w
+        and not wide
+        and int(S) * max(_max_abundance(inv), 1) < 2**15
+    )
+    q_b = Q_BOUNDS_IO
+
+    def chunk_views(sl: int):
+        # (C, ·) stacked views; the q-bounds matrix is (C, Q) and
+        # fetched whole
+        vs = [q_out if q_b else q_out[:, :sl], t_out[:, :sl]]
+        if not tc_32:
+            vs.append(counts[:, :sl])
+        if not skip_w:
+            vs.append(weights[:, :sl])
+        return vs
 
     def run(e):
         return inverted_sparse_hits_chunks(
@@ -806,6 +887,8 @@ def _sparse_chunks(
             t16=t_16,
             tc32=tc_32,
             w16=w_16,
+            q_bounds=q_b,
+            skip_weights=skip_w,
             true_max_run=int(inv.max_run),
         )
 
@@ -817,11 +900,7 @@ def _sparse_chunks(
     opt = None
     if hv is not None:
         hv = min(int(hv), int(cap))
-        opt = (
-            (q_out[:, :hv], t_out[:, :hv], weights[:, :hv])
-            if tc_32
-            else (q_out[:, :hv], t_out[:, :hv], counts[:, :hv], weights[:, :hv])
-        )
+        opt = chunk_views(hv)
         _start_async_fetch(opt)
     nm = np.asarray(stats)  # (C, 2): the single host sync for every chunk
     if expand_e is not None and int(nm[:, 1].max()) > expand_e:
@@ -843,17 +922,9 @@ def _sparse_chunks(
     if opt is not None and int(hs.max()) <= hv:
         views = opt
     else:
-        views = (
-            (q_out[:, :hp], t_out[:, :hp], weights[:, :hp])
-            if tc_32
-            else (q_out[:, :hp], t_out[:, :hp], counts[:, :hp], weights[:, :hp])
-        )
+        views = chunk_views(hp)
         _start_async_fetch(views)  # overlap the transfers
-    if tc_32:
-        qa, ta, wa = (np.asarray(v) for v in views)
-        ca = None
-    else:
-        qa, ta, ca, wa = (np.asarray(v) for v in views)
+    views_np = [np.asarray(v) for v in views]
     parts = []
     for c in range(C):
         nc, h = int(n[c]), int(hs[c])
@@ -873,9 +944,7 @@ def _sparse_chunks(
             continue
         parts.append(
             _mk_hits(
-                qa[c, :h], ta[c, :h],
-                None if tc_32 else ca[c, :h],
-                wa[c, :h], nc, wide, tc_32,
+                [v[c] for v in views_np], h, nc, wide, tc_32, q_b, skip_w
             )
         )
     return parts

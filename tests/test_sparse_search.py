@@ -771,3 +771,82 @@ def test_tc32_packed_transport_bit_equal():
     hits2 = sparse_search(target, q_hi, q_lo, q_valid, q_chunk=16)
     n2, w2 = _densify(hits2, len(query), len(target))
     assert np.array_equal(n2, n_d) and np.array_equal(w2, w_d)
+
+
+def test_q_bounds_transport_bit_equal(monkeypatch):
+    """The q-bounds transport (per-query boundary vector instead of the
+    per-hit q column) must be bit-equal to the explicit-q path on the
+    single, chunked, and capacity-truncated paths."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(91)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(50, 20, pool, 92)
+    query = _mk_index(24, 15, pool, 93)
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    monkeypatch.setattr(sp, "Q_BOUNDS_IO", False)
+    ref = sp.sparse_search(target, q_hi, q_lo, q_valid)
+    ref_c = sp.sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
+    ref_t = sp.sparse_search(target, q_hi, q_lo, q_valid, capacity=128)
+    monkeypatch.setattr(sp, "Q_BOUNDS_IO", True)
+    got = sp.sparse_search(target, q_hi, q_lo, q_valid)
+    got_c = sp.sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
+    got_t = sp.sparse_search(target, q_hi, q_lo, q_valid, capacity=128)
+    for a, b in ((ref, got), (ref_c, got_c), (ref_t, got_t)):
+        assert a.n_hits == b.n_hits
+        assert np.array_equal(a.q, b.q)
+        assert np.array_equal(a.t, b.t)
+        assert np.array_equal(a.count, b.count)
+        assert np.array_equal(a.weight, b.weight)
+
+
+def test_skip_weights_unit_abundance(monkeypatch):
+    """On a unit-abundance corpus the weight fetch is elided (weight ≡
+    count); results must equal both the flag-off path and the dense
+    oracle. A non-unit corpus must NOT engage the elision."""
+    import kmerseek_tpu.ops.sparse_search as sp
+    from kmerseek_tpu.ops.inverted import inverted_search
+
+    rng = np.random.default_rng(94)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(50, 20, pool, 95)
+    # force unit abundance
+    target = ProteomeIndex(
+        target.config,
+        target.names,
+        target.mins,
+        np.ones(len(target.mins), np.int64),
+        target.offsets,
+    )
+    query = _mk_index(24, 15, pool, 96)
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    monkeypatch.setattr(sp, "SKIP_W_UNIT_AB", False)
+    ref = sp.sparse_search(target, q_hi, q_lo, q_valid)
+    monkeypatch.setattr(sp, "SKIP_W_UNIT_AB", True)
+    got = sp.sparse_search(target, q_hi, q_lo, q_valid)
+    got_c = sp.sparse_search(target, q_hi, q_lo, q_valid, q_chunk=8)
+    assert np.array_equal(ref.weight, got.weight)
+    assert np.array_equal(got.weight, got.count.astype(np.int64))
+    c, w = inverted_search(target, q_hi, q_lo, q_valid)
+    n_d, w_d = _densify(got, len(query), len(target))
+    assert np.array_equal(n_d, np.asarray(c).astype(np.int64))
+    assert np.array_equal(w_d, np.asarray(w).astype(np.int64))
+    n_c, w_c = _densify(got_c, len(query), len(target))
+    assert np.array_equal(n_c, n_d) and np.array_equal(w_c, w_d)
+
+    # non-unit abundance: elision must stay off (weights are real sums)
+    target_ab = _mk_index(50, 20, pool, 95)
+    assert int(target_ab.abundances.max()) > 1
+    ref2 = None
+    monkeypatch.setattr(sp, "SKIP_W_UNIT_AB", False)
+    ref2 = sp.sparse_search(target_ab, q_hi, q_lo, q_valid)
+    monkeypatch.setattr(sp, "SKIP_W_UNIT_AB", True)
+    got2 = sp.sparse_search(target_ab, q_hi, q_lo, q_valid)
+    assert np.array_equal(ref2.weight, got2.weight)
+    assert not np.array_equal(got2.weight, got2.count.astype(np.int64))
