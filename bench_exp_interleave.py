@@ -138,7 +138,9 @@ def main():
         return d_hi, d_lo
 
     def il2(hi, lo, n, dep):
-        d_hi, d_lo = il2_sort(hi ^ (dep.astype(jnp.uint32) & jnp.uint32(1)), lo)
+        d_hi, d_lo = il2_sort(
+            hi ^ (dep.astype(jnp.uint32) & jnp.uint32(1)), lo, n
+        )
         return consume(d_hi, d_lo, dep)
 
     # bit-equality gate: il2's de-interleaved keys must equal prod's

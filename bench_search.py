@@ -536,14 +536,46 @@ def _measure_production_cold(
             )
         out["save_s"] = save_s
         out["process_wall_s"] = wall_s
-        out["cold_queries_per_second"] = queries / wall_s
+        # interpreter + jax-preimport boot: everything before the child's
+        # own clock starts
+        boot_s = max(wall_s - out.get("in_child_total_s", wall_s), 0.0)
+        out["boot_s"] = boot_s
+        # time to FIRST ANSWERS from process start, minus the synthetic
+        # query-block reproduction (a benchmark artifact a real server
+        # never pays — it receives queries; reported alongside)
+        serve_s = out.get("serve_done_s")
+        if serve_s is not None:
+            first_answer_s = boot_s + serve_s - out.get("query_prep_s", 0.0)
+            out["time_to_first_answer_s"] = first_answer_s
+            out["cold_queries_per_second"] = queries / first_answer_s
+            # steady-state handover point: device block answered
+            out["device_steady_s"] = boot_s + out["in_child_total_s"] - out.get(
+                "query_prep_s", 0.0
+            )
+            out["device_cold_queries_per_second"] = queries / out[
+                "device_steady_s"
+            ]
+        else:  # legacy child record
+            out["cold_queries_per_second"] = queries / wall_s
         return out
     finally:
         shutil.rmtree(td, ignore_errors=True)
 
 
 def _production_cold_child() -> None:
-    """Fresh-process cold path: .ksx → first 512-query sparse block."""
+    """Fresh-process cold path: .ksx → first 512-query answers.
+
+    Serving pattern (the production cold-start design, DESIGN.md §6.9):
+    the first block is answered by the HOST engine
+    (``sparse_search_host`` — the same searchsorted join that backs the
+    CLI's ``manysearch``) the moment the postings are loaded, while the
+    corpus-sized device upload runs in a background thread; the device
+    engine takes over for steady state. Both engines are bit-equal and
+    this child ASSERTS that on the served block. Reported timings
+    decompose the whole wall: interpreter boot (parent-measured), .ksx
+    load, synthetic-query reproduction (benchmark artifact, excluded
+    from the serve figure), host first block, device upload wait +
+    first device block."""
     t_start = time.perf_counter()
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the sitecustomize pre-imports jax pinned to axon; honor an
@@ -558,18 +590,36 @@ def _production_cold_child() -> None:
     queries, sketch, q_chunk, pool_bits = (
         int(v) for v in os.environ["KMERSEEK_BENCH_COLD_PARAMS"].split(",")
     )
+    import threading
+
     import jax.numpy as jnp
 
     from kmerseek_tpu.core.index import ProteomeIndex
     from kmerseek_tpu.ops.inverted import device_postings
-    from kmerseek_tpu.ops.sparse_search import sparse_search
+    from kmerseek_tpu.ops.sparse_search import sparse_search, sparse_search_host
 
     t0 = time.perf_counter()
     idx = ProteomeIndex.load(ksx)
     load_s = time.perf_counter() - t0
 
+    # start the corpus-sized device upload NOW, off-thread — the host
+    # engine serves meanwhile
+    upload_err = []
+
+    def _upload():
+        try:
+            device_postings(idx.inverted)
+        except Exception as e:  # surfaced after the serve
+            upload_err.append(repr(e))
+
+    up = threading.Thread(target=_upload, daemon=True)
+    up.start()
+
     # same seeded query block as the parent (drawn AFTER the corpus —
-    # reproduce the parent's rng stream order)
+    # reproduce the parent's rng stream order). Pure benchmark
+    # artifact: a real server RECEIVES queries; reported separately so
+    # the serve figure can exclude it.
+    t0 = time.perf_counter()
     rng = np.random.default_rng(1)
     pool = np.unique(
         rng.integers(0, 2**62, size=1 << pool_bits, dtype=np.uint64)
@@ -584,22 +634,46 @@ def _production_cold_child() -> None:
     q64 = np.sort(q64, axis=1)
     qv = np.ones((queries, sketch), bool)
     qv[:, 1:] = q64[:, 1:] != q64[:, :-1]
-    q_hi = jnp.asarray((q64 >> np.uint64(32)).astype(np.uint32))
-    q_lo = jnp.asarray((q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    q_valid = jnp.asarray(qv)
+    q_hi_np = (q64 >> np.uint64(32)).astype(np.uint32)
+    q_lo_np = (q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    query_prep_s = time.perf_counter() - t0
 
+    # FIRST ANSWERS: host engine over the loaded postings
     t0 = time.perf_counter()
-    device_postings(idx.inverted)
-    upload_stage_s = time.perf_counter() - t0
+    host_hits = sparse_search_host(idx, q_hi_np, q_lo_np, qv)
+    host_first_block_s = time.perf_counter() - t0
+    serve_done_s = time.perf_counter() - t_start
+
+    # steady-state handover: wait out the upload, run the device block
+    t0 = time.perf_counter()
+    up.join()
+    upload_wait_s = time.perf_counter() - t0
+    q_hi = jnp.asarray(q_hi_np)
+    q_lo = jnp.asarray(q_lo_np)
+    q_valid = jnp.asarray(qv)
     t0 = time.perf_counter()
     hits = sparse_search(idx, q_hi, q_lo, q_valid, q_chunk=q_chunk)
-    first_block_s = time.perf_counter() - t0
+    device_first_block_s = time.perf_counter() - t0
+    equal = (
+        hits.n_hits == host_hits.n_hits
+        and np.array_equal(hits.q, host_hits.q)
+        and np.array_equal(hits.t, host_hits.t)
+        and np.array_equal(hits.count, host_hits.count)
+        and np.array_equal(hits.weight, host_hits.weight)
+    )
+    if not equal:
+        raise RuntimeError("cold-serve host/device disagreement")
     print(
         json.dumps(
             {
                 "load_s": load_s,
-                "upload_stage_s": upload_stage_s,
-                "first_block_s": first_block_s,
+                "query_prep_s": query_prep_s,
+                "host_first_block_s": host_first_block_s,
+                "serve_done_s": serve_done_s,
+                "upload_wait_s": upload_wait_s,
+                "upload_error": upload_err[0] if upload_err else None,
+                "device_first_block_s": device_first_block_s,
+                "host_device_bit_equal": bool(equal),
                 "in_child_total_s": time.perf_counter() - t_start,
                 "n_hits": int(hits.n_hits),
             }

@@ -988,6 +988,78 @@ def _merge_partial_hits(parts: list, capacity: int | None) -> SparseHits:
     return merged
 
 
+def sparse_search_host(
+    index,
+    q_hi,
+    q_lo,
+    q_valid,
+    capacity: int | None = None,
+) -> SparseHits:
+    """Host-engine twin of ``sparse_search``: one vectorized numpy
+    ``searchsorted`` join over the sorted posting array, same trimmed
+    (q, t)-ascending ``SparseHits`` contract, bit-equal (tested).
+
+    This is the COLD-START serve engine: a fresh process that just
+    loaded a ``.ksx`` can answer its first query blocks from the host
+    postings while the corpus-sized device upload + kernel compile
+    proceed in the background (over a tunneled TPU the upload alone is
+    tens of seconds). Steady-state throughput belongs to the device
+    engine; this path's cost is O(Q·S·log N) host binary searches plus
+    the expansion, with no device round-trips at all. The same join
+    also backs the production ``manysearch`` host path
+    (``core.search._host_join``), so serving from it is not a shortcut
+    — it is the CLI's primary engine answering early.
+    """
+    inv = getattr(index, "inverted", None)
+    if not isinstance(inv, (InvertedIndex, DeviceInvertedIndex)):
+        inv = build_inverted_np(index.mins, index.abundances, index.offsets)
+    from .u64 import join_np
+
+    q64 = join_np(np.asarray(q_hi), np.asarray(q_lo))
+    qv = np.asarray(q_valid)
+    Q, S = q64.shape
+    if inv.n_postings == 0:
+        z = np.zeros(0, np.int32)
+        return SparseHits(z, z, z, z.astype(np.int64), 0)
+    g = inv.g64()
+    rows, cols = np.nonzero(qv)
+    probes = q64[rows, cols]
+    lb = np.searchsorted(g, probes, side="left")
+    ub = np.searchsorted(g, probes, side="right")
+    cnt = (ub - lb).astype(np.int64)
+    m = int(cnt.sum())
+    # CSR run expansion: posting index of every (probe, run element)
+    off = np.cumsum(cnt) - cnt
+    pos = np.arange(m, dtype=np.int64) - np.repeat(off, cnt) + np.repeat(lb, cnt)
+    q = np.repeat(rows.astype(np.int32), cnt)
+    t = inv.tid[pos].astype(np.int32)
+    ab = inv.ab[pos].astype(np.int64)
+    if m == 0:
+        z = np.zeros(0, np.int32)
+        return SparseHits(z, z, z, z.astype(np.int64), 0)
+    # aggregate per (q, t): tuples arrive q-ascending already (rows is
+    # row-major over the valid mask), so lexsort by t within q
+    order = np.lexsort((t, q))
+    q, t, ab = q[order], t[order], ab[order]
+    head = np.empty(m, bool)
+    head[0] = True
+    head[1:] = (q[1:] != q[:-1]) | (t[1:] != t[:-1])
+    starts = np.flatnonzero(head)
+    counts = np.diff(np.append(starts, m)).astype(np.int32)
+    weights = np.add.reduceat(ab, starts).astype(np.int64)
+    n_hits = len(starts)
+    out = SparseHits(q[starts], t[starts], counts, weights, n_hits)
+    if capacity is not None and n_hits > capacity:
+        out = SparseHits(
+            out.q[:capacity],
+            out.t[:capacity],
+            out.count[:capacity],
+            out.weight[:capacity],
+            n_hits,
+        )
+    return out
+
+
 def sparse_search(
     index,
     q_hi,

@@ -850,3 +850,39 @@ def test_skip_weights_unit_abundance(monkeypatch):
     got2 = sp.sparse_search(target_ab, q_hi, q_lo, q_valid)
     assert np.array_equal(ref2.weight, got2.weight)
     assert not np.array_equal(got2.weight, got2.count.astype(np.int64))
+
+
+def test_host_engine_bit_equal():
+    """sparse_search_host (the cold-start serve engine) must be
+    bit-equal to the device engine, including capacity trimming and
+    empty blocks."""
+    from kmerseek_tpu.ops.sparse_search import sparse_search_host
+
+    rng = np.random.default_rng(97)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(50, 20, pool, 98)
+    query = _mk_index(24, 15, pool, 99)
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    dev = sparse_search(target, q_hi, q_lo, q_valid)
+    host = sparse_search_host(target, q_hi, q_lo, q_valid)
+    assert host.n_hits == dev.n_hits
+    assert np.array_equal(host.q, dev.q)
+    assert np.array_equal(host.t, dev.t)
+    assert np.array_equal(host.count, dev.count)
+    assert np.array_equal(host.weight, dev.weight)
+
+    trimmed = sparse_search_host(target, q_hi, q_lo, q_valid, capacity=64)
+    assert trimmed.n_hits == dev.n_hits
+    assert np.array_equal(trimmed.q, dev.q[:64])
+    assert np.array_equal(trimmed.weight, dev.weight[:64])
+
+    # all-miss block → empty
+    import jax.numpy as jnp
+
+    miss_hi = jnp.full_like(q_hi, 0x7FFFFFFF)
+    miss_lo = jnp.full_like(q_lo, 0x12345678)
+    empty = sparse_search_host(target, miss_hi, miss_lo, q_valid)
+    assert empty.n_hits == 0 and len(empty.q) == 0
