@@ -886,3 +886,64 @@ def test_host_engine_bit_equal():
     miss_lo = jnp.full_like(q_lo, 0x12345678)
     empty = sparse_search_host(target, miss_hi, miss_lo, q_valid)
     assert empty.n_hits == 0 and len(empty.q) == 0
+
+
+def test_production_cold_child_protocol(tmp_path):
+    """The bench's cold-serve child (fresh process: .ksx → host-first
+    block → device handover) must run end to end at tiny scale, assert
+    host/device bit-equality internally, and report the full timing
+    decomposition the parent derives cold_queries_per_second from."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys_path_repo = repo
+
+    # parent side: build a small synthetic index the same way
+    # bench_search.measure_search_sparse does (pool draws, CSR contract)
+    rng = np.random.default_rng(1)
+    pool_bits, targets, sketch, queries = 12, 512, 32, 64
+    pool = np.unique(rng.integers(0, 2**62, size=1 << pool_bits, dtype=np.uint64))
+    t_c = rng.integers(sketch // 2, sketch, size=targets).astype(np.int64)
+    vals = np.sort(pool[rng.integers(0, len(pool), size=(targets, sketch))], axis=1)
+    keep = np.ones_like(vals, bool)
+    keep[:, 1:] = vals[:, 1:] != vals[:, :-1]
+    keep &= np.arange(sketch)[None, :] < t_c[:, None]
+    mins = vals[keep]
+    counts = keep.sum(axis=1).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    idx = ProteomeIndex(
+        IndexConfig(16, 5, "hp"),
+        [f"t{i}" for i in range(targets)],
+        mins,
+        np.ones(len(mins), np.int64),
+        offsets,
+    )
+    ksx = str(tmp_path / "cold.ksx")
+    idx.save(ksx)
+
+    env = dict(os.environ)
+    env["KMERSEEK_BENCH_COLD_KSX"] = ksx
+    env["KMERSEEK_BENCH_COLD_PARAMS"] = f"{queries},{sketch},64,{pool_bits}"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(sys_path_repo, "bench_search.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=sys_path_repo,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    rec = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert rec["host_device_bit_equal"] is True
+    assert rec["upload_error"] is None
+    for key in (
+        "load_s", "query_prep_s", "host_first_block_s", "serve_done_s",
+        "upload_wait_s", "device_first_block_s", "in_child_total_s",
+    ):
+        assert key in rec and rec[key] >= 0
+    assert rec["n_hits"] > 0
