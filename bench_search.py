@@ -54,10 +54,11 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
 
     Block-size autotune: the dense engine's per-query cost falls with
     bigger query blocks (more independent gather lanes per dispatch —
-    measured on-chip r4: 73.6k q/s at Q=1024 vs 80.7k at Q=2048, same
-    window), so both block sizes are measured and the better one is the
-    headline — that is the production choice a server makes per
-    workload. Per-block figures stay in the detail."""
+    measured on-chip r4: 73.6k q/s at Q=1024, 79-81k at Q=2048, 112.5k
+    at Q=4096, same 20k-target window), so the candidate block sizes
+    (KMERSEEK_BENCH_QBLOCKS, default 2048,4096) are measured and the
+    best is the headline — that is the production choice a server makes
+    per workload. Per-block figures stay in the detail."""
     import jax
     import jax.numpy as jnp
 
@@ -83,9 +84,15 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     binv, g4, starts = device_postings(inv)
     red = jax.jit(lambda c, w, d: c.sum() + w.sum() + d)
 
+    blocks = tuple(
+        int(v)
+        for v in os.environ.get(
+            "KMERSEEK_BENCH_QBLOCKS", f"{2 * queries},{4 * queries}"
+        ).split(",")
+    )
     per_block = {}
     best = None
-    for Q in (queries, 2 * queries):
+    for Q in blocks:
         q_hi, q_lo, _q_ab, q_c = _mk(rng, Q, SKETCH_)
         q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
         q_valid = dev(np.arange(SKETCH_)[None, :] < q_c[:, None])
