@@ -42,7 +42,14 @@ from .alphabet import validate_resolve_batch
 from .fasta import iter_record_batches
 from .signature import Signature
 
-INDEX_FORMAT_VERSION = 1
+# format 2: corpus-scale arrays live as individual raw .npy members
+# next to a manifest.json and load with mmap_mode="r" — a fresh process
+# opens the index in milliseconds and pages arrays in from the OS page
+# cache on first touch (this VM class faults fresh anonymous pages at
+# ~100 MB/s, so the old eager-npz load spent ~20 s copying 1.6 GB at
+# UniProt scale before the first answer; see DESIGN.md §6.10). Format 1
+# (arrays.npz / inverted.npz) still loads via the legacy branch.
+INDEX_FORMAT_VERSION = 2
 
 
 INDEX_SUFFIX = "kmerseek.ksx"  # replaces "...kmerseek.rocksdb" (index.rs:647-652)
@@ -652,27 +659,65 @@ class ProteomeIndex:
         }
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(meta, f)
-        _savez(
-            os.path.join(path, "arrays.npz"),
-            mins=self.mins,
-            abundances=self.abundances,
-            offsets=self.offsets,
-        )
         # persist the inverted posting arrays (search index) so loads
-        # skip the global argsort — branchwater do_index parity
-        inv = self.inverted
-        _savez(
-            os.path.join(path, "inverted.npz"),
-            g_hi=inv.g_hi,
-            g_lo=inv.g_lo,
-            tid=inv.tid,
-            ab=inv.ab,
-            bucket_starts=inv.bucket_starts,
-            shape=np.asarray(
-                [inv.n_targets, inv.max_run, inv.max_span, inv.bucket_shift],
-                np.int64,
-            ),
-        )
+        # skip the global argsort — branchwater do_index parity. Big
+        # arrays go as individual raw .npy members (format 2): loads
+        # mmap them, so a fresh process answers from the page cache
+        # instead of eagerly copying ~1.6 GB (DESIGN.md §6.10).
+        inv = self.inverted.with_buckets()
+        members = {
+            "mins": self.mins,
+            "abundances": self.abundances,
+            "offsets": self.offsets,
+            "inv_g_hi": inv.g_hi,
+            "inv_g_lo": inv.g_lo,
+            "inv_tid": inv.tid,
+            "inv_ab": inv.ab,
+            "inv_bucket_starts": inv.bucket_starts,
+        }
+        manifest = {
+            "inverted_shape": [
+                int(inv.n_targets),
+                int(inv.max_run),
+                int(inv.max_span),
+                int(inv.bucket_shift),
+            ],
+            "files": {},
+            # content checksums, computed here while the arrays are hot:
+            # the full-content load verify (KMERSEEK_LOAD_VERIFY=full)
+            # compares against these; the default load verifies sizes +
+            # shapes only (mmap keeps the open O(1)). Postings are a
+            # permutation of mins by construction, so one sum covers
+            # both sides of the legacy arrays-vs-inverted guard.
+            "sums": {
+                "mins": int(self.mins.sum(dtype=np.uint64)),
+                "abundances": int(self.abundances.sum(dtype=np.int64)),
+                "inv_g64": int(inv.g64().sum(dtype=np.uint64)),
+                "inv_ab": int(inv.ab.sum(dtype=np.int64)),
+            },
+        }
+        for name, arr in members.items():
+            fp = os.path.join(path, f"{name}.npy")
+            np.save(fp, np.ascontiguousarray(arr))
+            manifest["files"][name] = {
+                "bytes": os.path.getsize(fp),
+                "len": int(len(arr)),
+                "dtype": str(np.asarray(arr).dtype),
+            }
+        # manifest lands LAST (atomic rename): a crashed half-save
+        # leaves no manifest → the legacy/absent branch, never a
+        # manifest describing files that were not fully written
+        mtmp = os.path.join(path, "manifest.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(mtmp, os.path.join(path, "manifest.json"))
+        # drop stale format-1 members a previous save may have left in
+        # this directory (load prefers the manifest, but mixed
+        # generations must not survive a re-save)
+        for legacy in ("arrays.npz", "inverted.npz"):
+            lp = os.path.join(path, legacy)
+            if os.path.exists(lp):
+                os.remove(lp)
         # learned sparse-engine hints (expansion budget E, trimmed-fetch
         # lengths): pure warm-start for a fresh process — wrong hints
         # are detected and retried, never wrong-results
@@ -708,13 +753,16 @@ class ProteomeIndex:
             meta = json.load(f)
         if meta["format_version"] > INDEX_FORMAT_VERSION:
             raise ValueError(f"index format {meta['format_version']} too new")
-        arrays = np.load(os.path.join(path, "arrays.npz"))
         sequences = None
         seq_path = os.path.join(path, "sequences.npz")
         if meta.get("has_sequences") and os.path.exists(seq_path):
             sq = np.load(seq_path)
             data, offs = sq["data"].tobytes(), sq["offsets"]
             sequences = [data[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
+        manifest_path = os.path.join(path, "manifest.json")
+        if os.path.exists(manifest_path):
+            return cls._load_npy(path, meta, manifest_path, sequences)
+        arrays = np.load(os.path.join(path, "arrays.npz"))
         idx = cls(
             IndexConfig(meta["ksize"], meta["scaled"], meta["moltype"]),
             meta["names"],
@@ -779,6 +827,99 @@ class ProteomeIndex:
                         seed_learned_hints(inv, json.load(f))
                 except Exception:
                     pass  # hints are advisory; a bad file is ignored
+        return idx
+
+    @classmethod
+    def _load_npy(cls, path, meta, manifest_path, sequences) -> "ProteomeIndex":
+        """Format-2 load: mmap the raw .npy members (O(1) open; pages
+        fault in from the OS page cache on first touch — the cold-start
+        serve answers its first block while most of the index is still
+        on disk, DESIGN.md §6.10).
+
+        Default integrity check is structural (on-disk byte sizes +
+        lengths vs the manifest written atomically at save): catches
+        truncation and mixed save generations without reading array
+        content. ``KMERSEEK_LOAD_VERIFY=full`` additionally compares
+        the content checksums recorded at save time (reads everything —
+        the format-1 behavior)."""
+        from ..ops.inverted import InvertedIndex
+
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        files = manifest["files"]
+        arrs = {}
+        for name, rec in files.items():
+            fp = os.path.join(path, f"{name}.npy")
+            if not os.path.exists(fp) or os.path.getsize(fp) != rec["bytes"]:
+                raise ValueError(
+                    f"corrupt .ksx: {name}.npy missing or size-mismatched "
+                    f"vs manifest at {path}"
+                )
+            arrs[name] = np.load(fp, mmap_mode="r")
+            if len(arrs[name]) != rec["len"]:
+                raise ValueError(
+                    f"corrupt .ksx: {name}.npy length mismatch at {path}"
+                )
+        if (
+            int(arrs["offsets"][-1]) != len(arrs["mins"])
+            or len(arrs["inv_g_hi"]) != len(arrs["mins"])
+            or len(arrs["offsets"]) != len(meta["names"]) + 1
+        ):
+            raise ValueError(f"corrupt .ksx: member shapes disagree at {path}")
+        idx = cls(
+            IndexConfig(meta["ksize"], meta["scaled"], meta["moltype"]),
+            meta["names"],
+            arrs["mins"],
+            arrs["abundances"],
+            arrs["offsets"],
+            source_fasta=meta.get("source_fasta", ""),
+            sequences=sequences,
+        )
+        if meta.get("md5s"):
+            idx._md5s = list(meta["md5s"])
+        shape = manifest["inverted_shape"]
+        inv = InvertedIndex(
+            arrs["inv_g_hi"],
+            arrs["inv_g_lo"],
+            arrs["inv_tid"],
+            arrs["inv_ab"],
+            shape[0],
+            shape[1],
+            bucket_starts=arrs["inv_bucket_starts"],
+            max_span=shape[2],
+            bucket_shift=shape[3],
+        )
+        if os.environ.get("KMERSEEK_LOAD_VERIFY") == "full":
+            sums = manifest.get("sums", {})
+            ok = (
+                int(idx.mins.sum(dtype=np.uint64)) == sums.get("mins")
+                and int(idx.abundances.sum(dtype=np.int64))
+                == sums.get("abundances")
+                and int(inv.g64().sum(dtype=np.uint64)) == sums.get("inv_g64")
+                and int(inv.ab.sum(dtype=np.int64)) == sums.get("inv_ab")
+                and sums.get("mins") == sums.get("inv_g64")
+                and sums.get("abundances") == sums.get("inv_ab")
+            )
+            if not ok:
+                from ..utils.logging import logger
+
+                logger.warning(
+                    "full verify: posting content at %s disagrees with the "
+                    "manifest checksums — rebuilding postings",
+                    path,
+                )
+                idx._inverted = None
+                return idx
+        idx._inverted = inv
+        hints_path = os.path.join(path, "hints.json")
+        if os.path.exists(hints_path):
+            from ..ops.sparse_search import seed_learned_hints
+
+            try:
+                with open(hints_path) as f:
+                    seed_learned_hints(inv, json.load(f))
+            except Exception:
+                pass  # hints are advisory; a bad file is ignored
         return idx
 
     # ------------------------------------------------------------------

@@ -1021,22 +1021,30 @@ def sparse_search_host(
     if inv.n_postings == 0:
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
-    g = inv.g64()
-    rows, cols = np.nonzero(qv)
-    probes = q64[rows, cols]
-    lb = np.searchsorted(g, probes, side="left")
-    ub = np.searchsorted(g, probes, side="right")
-    cnt = (ub - lb).astype(np.int64)
-    m = int(cnt.sum())
-    # CSR run expansion: posting index of every (probe, run element)
-    off = np.cumsum(cnt) - cnt
-    pos = np.arange(m, dtype=np.int64) - np.repeat(off, cnt) + np.repeat(lb, cnt)
-    q = np.repeat(rows.astype(np.int32), cnt)
-    t = inv.tid[pos].astype(np.int32)
-    ab = inv.ab[pos].astype(np.int64)
+    # reuse the production host join (core.search._join_tuples): the
+    # cached distinct-hash table + bucketed lookup + CSR expansion —
+    # one engine, shared cache with manysearch (lazy import; no import
+    # cycle: core.search imports this module lazily too)
+    from ..core.search import _join_tuples
+
+    counts_row = qv.sum(axis=1).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts_row)])
+
+    class _QShim:
+        mins = q64[qv]
+
+        def __len__(self):
+            return Q
+
+    shim = _QShim()
+    shim.offsets = offsets
+    q, t, ab, _qhash, _posc = _join_tuples(shim, inv)
+    m = len(q)
     if m == 0:
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
+    q = q.astype(np.int32)
+    t = t.astype(np.int32)
     # aggregate per (q, t): tuples arrive q-ascending already (rows is
     # row-major over the valid mask), so lexsort by t within q
     order = np.lexsort((t, q))

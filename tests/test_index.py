@@ -177,17 +177,10 @@ def test_old_ksx_without_bucket_table_loads(tmp_path):
     idx = ProteomeIndex.from_signatures(sigs, IndexConfig(16, 5, "hp"))
     path = str(tmp_path / "old.ksx")
     idx.save(path)
-    # rewrite inverted.npz in the old (pre-bucket) layout
-    inv_path = os.path.join(path, "inverted.npz")
-    iz = dict(np.load(inv_path))
-    np.savez_compressed(
-        inv_path,
-        g_hi=iz["g_hi"],
-        g_lo=iz["g_lo"],
-        tid=iz["tid"],
-        ab=iz["ab"],
-        shape=iz["shape"][:2],
-    )
+    # rewrite the directory in the old format-1 layout: arrays.npz +
+    # pre-bucket inverted.npz, no manifest (format-2 saves write raw
+    # .npy members instead)
+    _to_legacy_layout(path, idx, pre_bucket=True)
     loaded = ProteomeIndex.load(path)
     inv = loaded._inverted
     assert inv.bucket_starts is not None and inv.max_span >= 1
@@ -287,22 +280,97 @@ def test_equivalence_derives_counterpart_sidecar(tmp_path):
     assert not c.is_equivalent_to(d)
 
 
+def _to_legacy_layout(path, idx, pre_bucket=False, flip_bit=False):
+    """Rewrite a saved .ksx directory in the format-1 npz layout (what
+    old saves produced) so the legacy load branch stays covered."""
+    import json
+
+    inv = idx.inverted.with_buckets()
+    np.savez_compressed(
+        os.path.join(path, "arrays.npz"),
+        mins=idx.mins,
+        abundances=idx.abundances,
+        offsets=idx.offsets,
+    )
+    g_lo = inv.g_lo.copy()
+    if flip_bit:
+        g_lo[0] ^= 1  # flip a posting bit: sums no longer match
+    kw = dict(g_hi=inv.g_hi, g_lo=g_lo, tid=inv.tid, ab=inv.ab)
+    if pre_bucket:
+        kw["shape"] = np.asarray([inv.n_targets, inv.max_run], np.int64)
+    else:
+        kw["bucket_starts"] = inv.bucket_starts
+        kw["shape"] = np.asarray(
+            [inv.n_targets, inv.max_run, inv.max_span, inv.bucket_shift],
+            np.int64,
+        )
+    np.savez_compressed(os.path.join(path, "inverted.npz"), **kw)
+    os.remove(os.path.join(path, "manifest.json"))
+    for name in (
+        "mins", "abundances", "offsets",
+        "inv_g_hi", "inv_g_lo", "inv_tid", "inv_ab", "inv_bucket_starts",
+    ):
+        fp = os.path.join(path, f"{name}.npy")
+        if os.path.exists(fp):
+            os.remove(fp)
+    # format stamp back to 1
+    mp = os.path.join(path, "metadata.json")
+    meta = json.load(open(mp))
+    meta["format_version"] = 1
+    json.dump(meta, open(mp, "w"))
+
+
 def test_corrupt_inverted_npz_rebuilt_on_load(tmp_path, caplog):
-    """A stale inverted.npz (inconsistent with arrays.npz) must be
-    detected at load and rebuilt from the CSR arrays — not trusted."""
+    """A stale format-1 inverted.npz (inconsistent with arrays.npz)
+    must be detected at load and rebuilt from the CSR arrays — not
+    trusted (the legacy-branch O(N) content guard)."""
     sigs = _sig_pair()
     idx = ProteomeIndex.from_signatures(sigs, IndexConfig(16, 5, "hp"))
     path = str(tmp_path / "c.ksx")
     idx.save(path)
-    inv_path = os.path.join(path, "inverted.npz")
-    iz = dict(np.load(inv_path))
-    iz["g_lo"] = iz["g_lo"].copy()
-    iz["g_lo"][0] ^= 1  # flip a posting bit: sums no longer match
-    np.savez_compressed(inv_path, **iz)
+    _to_legacy_layout(path, idx, flip_bit=True)
     loaded = ProteomeIndex.load(path)
     assert loaded._inverted is None  # rejected, lazily rebuilt
     inv = loaded.inverted
     assert np.array_equal(inv.g64(), np.sort(idx.mins))
+
+
+def test_npy_manifest_guards(tmp_path):
+    """Format-2 structural guards: a truncated member or a shape
+    mismatch must fail the load loudly; KMERSEEK_LOAD_VERIFY=full must
+    catch a content flip (size-preserving) and rebuild postings."""
+    import json
+    import os as _os
+
+    import pytest
+
+    sigs = _sig_pair()
+    idx = ProteomeIndex.from_signatures(sigs, IndexConfig(16, 5, "hp"))
+    path = str(tmp_path / "g.ksx")
+    idx.save(path)
+    assert _os.path.exists(_os.path.join(path, "manifest.json"))
+
+    # size-preserving content flip: default load trusts it (structural
+    # checks only), full verify detects and rebuilds
+    fp = _os.path.join(path, "inv_g_lo.npy")
+    arr = np.load(fp)
+    arr[0] ^= 1
+    np.save(fp, arr)
+    loaded = ProteomeIndex.load(path)  # default: structural pass
+    assert loaded._inverted is not None
+    _os.environ["KMERSEEK_LOAD_VERIFY"] = "full"
+    try:
+        loaded = ProteomeIndex.load(path)
+        assert loaded._inverted is None  # rejected, lazily rebuilt
+        assert np.array_equal(loaded.inverted.g64(), np.sort(idx.mins))
+    finally:
+        del _os.environ["KMERSEEK_LOAD_VERIFY"]
+
+    # truncation: loud failure
+    with open(fp, "r+b") as f:
+        f.truncate(_os.path.getsize(fp) - 8)
+    with pytest.raises(ValueError, match="size-mismatched"):
+        ProteomeIndex.load(path)
 
 
 def test_sig_zip_reader_skips_dna_sketches(tmp_path):
