@@ -15,10 +15,10 @@ combined KmerMinHash, this index is a set of flat arrays:
   (SURVEY.md §7.3).
 
 Persistence replaces RocksDB/bincode chunks (index.rs:227-265) with a
-directory of npz arrays + JSON metadata + parquet sidecar — one
-``np.load`` brings the whole index back; no chunk-reassembly step, and
-``load()`` is reliable (the reference's was documented broken,
-index.rs:428-430).
+directory of raw ``.npy`` members + a manifest + JSON metadata +
+parquet sidecar — ``load()`` mmaps the members (O(1) open, pages fault
+in on first touch), there is no chunk-reassembly step, and it is
+reliable (the reference's was documented broken, index.rs:428-430).
 
 Build path (index.rs:907-1016 redesigned): stream FASTA record batches
 → host validate/resolve → length-bucketed padded device batches →
@@ -53,21 +53,6 @@ INDEX_FORMAT_VERSION = 2
 
 
 INDEX_SUFFIX = "kmerseek.ksx"  # replaces "...kmerseek.rocksdb" (index.rs:647-652)
-
-# compress .ksx arrays only below this total byte size: murmur hashes
-# are incompressible (552 MB deflated vs 800 MB raw at 50M postings)
-# while deflate costs ~10x the write time (36.3 s vs 3.8 s measured) —
-# corpus-scale saves go raw so the production load-path stays I/O-bound
-_COMPRESS_MAX_BYTES = 32 << 20
-
-
-def _savez(path: str, **arrays) -> None:
-    total = sum(a.nbytes for a in arrays.values())
-    if total <= _COMPRESS_MAX_BYTES:
-        np.savez_compressed(path, **arrays)
-    else:
-        np.savez(path, **arrays)
-
 
 def generate_index_path(fasta: str, moltype: str, ksize: int, scaled: int) -> str:
     """Auto filename, index.rs:647-652 convention with a ksx suffix."""
