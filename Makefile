@@ -1,5 +1,5 @@
 # Developer entry points (reference: /root/reference/Makefile)
-.PHONY: all native test bench clean
+.PHONY: all native test bench clean warm-cache
 
 all: native
 
@@ -15,3 +15,9 @@ bench:
 clean:
 	$(MAKE) -C kmerseek_tpu/native clean
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+# Refresh the shipped pre-warmed XLA compile cache from the local one
+# (run after a bench pass on the target hardware; see utils/device.py)
+warm-cache:
+	mkdir -p .jax_compile_cache
+	cp -u $${KMERSEEK_JAX_CACHE:-$$HOME/.cache/kmerseek_jax}/*-cache .jax_compile_cache/ 2>/dev/null || true

@@ -37,13 +37,21 @@ def enable_compilation_cache() -> None:
     them at import — so CLI runs that stay on the native sketch fast
     path never pay the ~2.4 s jax import just to set cache config.
     When jax IS already loaded (e.g. the axon sitecustomize pre-imports
-    it), the config is applied directly."""
+    it), the config is applied directly.
+
+    The cache dir is additionally SEEDED from a pre-warmed artifact
+    directory shipped with the checkout (``.jax_compile_cache/`` at the
+    repo root) — the standard TPU-serving pattern of deploying compiled
+    executables with the code so a fresh machine's first process skips
+    the remote compiles for the production program shapes entirely
+    (XLA falls back to a normal compile on any key mismatch)."""
     try:
         cache_dir = os.environ.get(
             "KMERSEEK_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "kmerseek_jax"),
         )
         os.makedirs(cache_dir, exist_ok=True)
+        _seed_compile_cache(cache_dir)
         if "jax" in sys.modules:
             import jax
 
@@ -75,6 +83,44 @@ def enable_compilation_cache() -> None:
             )
     except Exception:
         pass  # cache is an optimization; never fail over it
+
+
+def _warm_cache_artifact_dir() -> str:
+    """The pre-warmed compile-cache artifact directory of this checkout
+    (may not exist). Overridable via KMERSEEK_WARM_CACHE_DIR."""
+    if "KMERSEEK_WARM_CACHE_DIR" in os.environ:
+        return os.environ["KMERSEEK_WARM_CACHE_DIR"]
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg_root), ".jax_compile_cache")
+
+
+def _seed_compile_cache(cache_dir: str) -> None:
+    """Copy shipped ``*-cache`` executables into the live cache dir.
+
+    Only fills holes — never overwrites an entry the local process
+    already compiled (local entries are at least as fresh). Hardlinks
+    where possible to avoid duplicating tens of MB; silently degrades
+    to copies across filesystems and to a no-op on any error."""
+    import shutil
+
+    src = _warm_cache_artifact_dir()
+    if not os.path.isdir(src) or os.path.realpath(src) == os.path.realpath(
+        cache_dir
+    ):
+        return
+    for name in os.listdir(src):
+        if not name.endswith("-cache"):
+            continue
+        dst = os.path.join(cache_dir, name)
+        if os.path.exists(dst):
+            continue
+        try:
+            try:
+                os.link(os.path.join(src, name), dst)
+            except OSError:
+                shutil.copy2(os.path.join(src, name), dst)
+        except Exception:
+            pass  # seeding is best-effort
 
 
 def ensure_usable_backend() -> str:

@@ -256,3 +256,33 @@ def test_prefault_arena_adaptive():
     mark = hm._prefaulted
     assert hm.prefault_arena(min(mark, 1)) is False
     assert hm._prefaulted == mark
+
+
+def test_compile_cache_seeding(tmp_path, monkeypatch):
+    """The live cache dir is seeded from the shipped artifact dir —
+    holes filled, local entries never overwritten, non-cache files
+    ignored (utils/device.py::_seed_compile_cache)."""
+    from kmerseek_tpu.utils.device import _seed_compile_cache
+
+    src = tmp_path / "shipped"
+    dst = tmp_path / "live"
+    src.mkdir()
+    dst.mkdir()
+    (src / "jit_f-aaaa-cache").write_bytes(b"shipped-exe")
+    (src / "jit_g-bbbb-cache").write_bytes(b"shipped-exe-2")
+    (src / "README.txt").write_bytes(b"not a cache entry")
+    (dst / "jit_g-bbbb-cache").write_bytes(b"local-exe")  # must survive
+
+    monkeypatch.setenv("KMERSEEK_WARM_CACHE_DIR", str(src))
+    _seed_compile_cache(str(dst))
+
+    assert (dst / "jit_f-aaaa-cache").read_bytes() == b"shipped-exe"
+    assert (dst / "jit_g-bbbb-cache").read_bytes() == b"local-exe"
+    assert not (dst / "README.txt").exists()
+
+    # same dir for src and dst: no-op, no error
+    monkeypatch.setenv("KMERSEEK_WARM_CACHE_DIR", str(dst))
+    _seed_compile_cache(str(dst))
+    # missing artifact dir: no-op, no error
+    monkeypatch.setenv("KMERSEEK_WARM_CACHE_DIR", str(tmp_path / "nope"))
+    _seed_compile_cache(str(dst))
