@@ -16,8 +16,9 @@ clean:
 	$(MAKE) -C kmerseek_tpu/native clean
 	find . -name __pycache__ -type d -exec rm -rf {} +
 
-# Refresh the shipped pre-warmed XLA compile cache from the local one
-# (run after a bench pass on the target hardware; see utils/device.py)
+# Rebuild the shipped pre-warmed XLA compile cache from the local one
+# (run after a bench pass on the target hardware). Rebuilds from
+# scratch: stale-keyed and trivial entries are pruned, provenance
+# recorded — see ci/warm_cache.py and utils/device.py.
 warm-cache:
-	mkdir -p .jax_compile_cache
-	cp -u $${KMERSEEK_JAX_CACHE:-$$HOME/.cache/kmerseek_jax}/*-cache .jax_compile_cache/ 2>/dev/null || true
+	python ci/warm_cache.py

@@ -98,11 +98,19 @@ def _seed_compile_cache(cache_dir: str) -> None:
     """Copy shipped ``*-cache`` executables into the live cache dir.
 
     Only fills holes — never overwrites an entry the local process
-    already compiled (local entries are at least as fresh). Hardlinks
-    where possible to avoid duplicating tens of MB; silently degrades
-    to copies across filesystems and to a no-op on any error."""
+    already compiled (local entries are at least as fresh). Each copy
+    is written to a temp file in ``cache_dir`` and ``os.rename``d into
+    place (same pattern JAX's own cache writer uses): a concurrent
+    process can never read a torn entry, and a lost rename race just
+    means the other process's identical copy won. Plain copies, not
+    hardlinks — a hardlink would share an inode with the checked-out
+    artifact, so any in-place cache mutation would corrupt the repo
+    working tree (ADVICE r4). Disable with KMERSEEK_NO_CACHE_SEED=1."""
     import shutil
+    import tempfile
 
+    if os.environ.get("KMERSEEK_NO_CACHE_SEED"):
+        return
     src = _warm_cache_artifact_dir()
     if not os.path.isdir(src) or os.path.realpath(src) == os.path.realpath(
         cache_dir
@@ -115,10 +123,19 @@ def _seed_compile_cache(cache_dir: str) -> None:
         if os.path.exists(dst):
             continue
         try:
+            fd, tmp = tempfile.mkstemp(prefix=".seed-", dir=cache_dir)
             try:
-                os.link(os.path.join(src, name), dst)
-            except OSError:
-                shutil.copy2(os.path.join(src, name), dst)
+                with os.fdopen(fd, "wb") as out, open(
+                    os.path.join(src, name), "rb"
+                ) as inp:
+                    shutil.copyfileobj(inp, out, 1 << 20)
+                os.rename(tmp, dst)  # atomic; last writer wins, never torn
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
         except Exception:
             pass  # seeding is best-effort
 

@@ -280,9 +280,24 @@ def test_compile_cache_seeding(tmp_path, monkeypatch):
     assert (dst / "jit_g-bbbb-cache").read_bytes() == b"local-exe"
     assert not (dst / "README.txt").exists()
 
+    # atomic writes: no temp litter, and no inode sharing with the
+    # shipped artifact (a hardlink would let cache mutation corrupt the
+    # checked-out repo file — ADVICE r4)
+    assert not [p for p in dst.iterdir() if p.name.startswith(".seed-")]
+    assert (dst / "jit_f-aaaa-cache").stat().st_ino != (
+        src / "jit_f-aaaa-cache"
+    ).stat().st_ino
+
     # same dir for src and dst: no-op, no error
     monkeypatch.setenv("KMERSEEK_WARM_CACHE_DIR", str(dst))
     _seed_compile_cache(str(dst))
     # missing artifact dir: no-op, no error
     monkeypatch.setenv("KMERSEEK_WARM_CACHE_DIR", str(tmp_path / "nope"))
     _seed_compile_cache(str(dst))
+
+    # opt-out env var disables seeding entirely
+    (src / "jit_h-cccc-cache").write_bytes(b"late")
+    monkeypatch.setenv("KMERSEEK_WARM_CACHE_DIR", str(src))
+    monkeypatch.setenv("KMERSEEK_NO_CACHE_SEED", "1")
+    _seed_compile_cache(str(dst))
+    assert not (dst / "jit_h-cccc-cache").exists()
