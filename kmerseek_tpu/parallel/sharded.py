@@ -448,8 +448,6 @@ def multisearch_columns_from_payloads(
     integer far below 2^53, so f64 summation order cannot change it) —
     the merged scores are bit-equal to single-host
     ``multisearch_columns``."""
-    import math
-
     from ..core.search import MULTISEARCH_COLUMNS
     from ..core.signature import minhash_ksize
 
@@ -502,47 +500,13 @@ def multisearch_columns_from_payloads(
     keep = containment >= threshold
     c_tq = seg_n / ts
     jaccard = seg_n / (qs + ts - seg_n)
-    kept = np.flatnonzero(keep)
-    kept = kept[
-        np.lexsort(
-            (sharded.name_ranks[seg_t[kept]], query.name_ranks[seg_q[kept]])
-        )
-    ]
+    from ..core.search import _assemble_multisearch_columns
 
-    sq = seg_q[kept].tolist()
-    st = seg_t[kept].tolist()
-    cont_l = containment[kept].tolist()
-    n = len(sq)
-    scaled = query.config.scaled
-    moltype = query.config.moltype
-    cols = {
-        "query_name": [query.names[qi] for qi in sq],
-        "query_md5": [query.md5_for(int(qi)) for qi in sq],
-        "match_name": [sharded.names[tj] for tj in st],
-        "match_md5": [sharded.md5s[tj] for tj in st],
-        "containment": cont_l,
-        "max_containment": np.maximum(containment[kept], c_tq[kept]).tolist(),
-        "jaccard": jaccard[kept].tolist(),
-        "intersect_hashes": seg_n[kept].astype(np.float64).tolist(),
-        "ksize": [k3] * n,
-        "scaled": [scaled] * n,
-        "moltype": [moltype] * n,
-    }
-    if not estimate_prob_overlap:
-        return cols
-    prob_l = prob[kept].tolist()
-    pa_l = [p * n_comparisons for p in prob_l]
-    cols["prob_overlap"] = prob_l
-    cols["prob_overlap_adjusted"] = pa_l
-    cols["containment_adjusted"] = [
-        cont / pa if pa else 0.0 for cont, pa in zip(cont_l, pa_l)
-    ]
-    cols["containment_adjusted_log10"] = [
-        math.log10(cont / pa) if pa and cont > 0 else 0.0
-        for cont, pa in zip(cont_l, pa_l)
-    ]
-    cols["tf_idf_score"] = tfidf[kept].tolist()
-    return cols
+    return _assemble_multisearch_columns(
+        query, sharded, seg_q, seg_t, seg_n,
+        containment, c_tq, jaccard, prob, tfidf, keep,
+        k3, n_comparisons, estimate_prob_overlap,
+    )
 
 
 def sharded_multisearch_columns(

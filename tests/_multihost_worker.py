@@ -93,8 +93,10 @@ def main() -> None:
             else np.asarray(v, dtype=np.str_ if v and isinstance(v[0], str) else None)
         )
     for k, v in multi.items():
-        payload[f"multi_{k}"] = np.asarray(
-            v, dtype=np.str_ if v and isinstance(v[0], str) else None
+        payload[f"multi_{k}"] = (
+            np.asarray(v)
+            if isinstance(v, np.ndarray)
+            else np.asarray(v, dtype=np.str_ if v and isinstance(v[0], str) else None)
         )
     np.savez(out, **payload)
 

@@ -142,7 +142,7 @@ def test_two_process_hash_range_sharded_build_and_search(tmp_path):
                 assert gv.tolist() == e, f"many.{k}"
         for k, e in multi.items():
             gv = g[f"multi_{k}"]
-            if e and isinstance(e[0], str):
+            if isinstance(e, np.ndarray):
+                assert np.array_equal(gv, e), f"multi.{k}"
+            else:  # string columns (names / md5s / moltype)
                 assert gv.tolist() == e, f"multi.{k}"
-            else:
-                assert np.array_equal(gv, np.asarray(e)), f"multi.{k}"

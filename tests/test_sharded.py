@@ -152,7 +152,11 @@ def test_sharded_multisearch_bit_equal(target, query):
     got = multisearch_columns_from_payloads(query, shards[1], payloads)
     assert list(got.keys()) == list(expected.keys())
     for k in expected:
-        assert got[k] == expected[k], k
+        e, g = expected[k], got[k]
+        if isinstance(e, np.ndarray):
+            assert np.array_equal(np.asarray(g), e), k
+        else:
+            assert g == e, k
 
 
 def test_single_process_sharded_build_degenerates(target, query):
