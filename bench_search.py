@@ -60,12 +60,11 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     best is the headline — that is the production choice a server makes
     per workload. Per-block figures stay in the detail."""
     import jax
-    import jax.numpy as jnp
 
     from kmerseek_tpu.ops.inverted import (
+        autotune_dense_block,
         build_inverted_np,
-        device_postings,
-        inverted_pair_stats_packed,
+        dense_block_hint,
     )
 
     TARGETS_, SKETCH_ = targets, sketch
@@ -79,10 +78,8 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
     offsets = np.concatenate([[0], np.cumsum(t_c)]).astype(np.int64)
     inv = build_inverted_np(mins, np.ones(len(mins), np.int64), offsets)
 
-    dev = jax.device_put
-    # production device layout: packed (N, 4) postings + bucket table
-    binv, g4, starts = device_postings(inv)
-    red = jax.jit(lambda c, w, d: c.sum() + w.sum() + d)
+    class _Idx:
+        inverted = inv
 
     blocks = tuple(
         int(v)
@@ -90,39 +87,15 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
             "KMERSEEK_BENCH_QBLOCKS", f"{2 * queries},{4 * queries}"
         ).split(",")
     )
-    per_block = {}
-    best = None
-    for Q in blocks:
-        q_hi, q_lo, _q_ab, q_c = _mk(rng, Q, SKETCH_)
-        q_hi_d, q_lo_d = dev(q_hi), dev(q_lo)
-        q_valid = dev(np.arange(SKETCH_)[None, :] < q_c[:, None])
-
-        def step(dep):
-            c, w = inverted_pair_stats_packed(
-                g4, starts, q_hi_d, q_lo_d,
-                q_valid & (dep >= 0),
-                n_targets=binv.n_targets, max_run=binv.max_run,
-                span_steps=max(int(binv.max_span).bit_length(), 1),
-                bucket_shift=binv.bucket_shift,
-            )
-            return red(c, w, dep)
-
-        t0 = time.perf_counter()
-        warm = int(step(jnp.int32(0)))
-        compile_s = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        dep = jnp.int32(0)
-        for _ in range(iters):
-            dep = step(dep)
-        final = int(dep)
-        dt = (time.perf_counter() - t0) / iters
-        assert warm >= 0 and final >= 0
-        per_block[Q] = {"queries_per_second": Q / dt, "compile_s": compile_s}
-        if best is None or Q / dt > best[1]:
-            best = (Q, Q / dt, dt, compile_s)
-
-    Qb, qps, dt, compile_s = best
+    # the LIBRARY autotune (ops.inverted.autotune_dense_block) is the
+    # measurement — the bench just reports it; the winner is recorded
+    # on the index (note_dense_block) exactly as a server/CLI caller
+    # gets it via dense_block_hint + the persisted hints.json
+    per_block = autotune_dense_block(
+        _Idx(), sketch_slots=SKETCH_, candidates=blocks, iters=iters
+    )
+    Qb = dense_block_hint(inv)
+    qps = per_block[Qb]["queries_per_second"]
     return {
         "metric": "search_queries_per_second",
         "value": qps,
@@ -132,8 +105,8 @@ def measure_search(backend_label: str, targets: int = TARGETS, queries: int = QU
             "queries": Qb,
             "block_autotune": {str(q): v for q, v in per_block.items()},
             "sketch_slots": SKETCH_,
-            "pairs_per_s": Qb * TARGETS_ / dt,
-            "compile_s": compile_s,
+            "pairs_per_s": qps * TARGETS_,
+            "compile_s": per_block[Qb]["compile_s"],
             "backend": f"{jax.default_backend()} ({backend_label})",
         },
     }

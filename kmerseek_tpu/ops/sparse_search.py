@@ -564,6 +564,12 @@ def export_learned_hints(inv) -> dict:
     for key, (ref, val) in _HP_CACHE.items():
         if ref() is owner:
             out["hp"][",".join(str(x) for x in key[1:])] = int(val)
+    # measured-best dense query block (ops.inverted.autotune_dense_block)
+    from .inverted import _DENSE_BLOCK_CACHE
+
+    dense = _cache_get(_DENSE_BLOCK_CACHE, (id(owner),), owner)
+    if dense:
+        out["dense_block"] = int(dense)
     return out
 
 
@@ -596,6 +602,11 @@ def seed_learned_hints(inv, hints) -> None:
         _cache_put(
             _HP_CACHE, _HP_CACHE_SLOTS, (id(owner),) + shape, owner, v
         )
+    dense = hints.get("dense_block")
+    if isinstance(dense, (int, float)) and int(dense) > 0:
+        from .inverted import note_dense_block
+
+        note_dense_block(inv, int(dense))
 
 
 def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
