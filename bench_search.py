@@ -489,6 +489,7 @@ def _measure_production_cold(
         t0 = time.perf_counter()
         idx.save(ksx)
         save_s = time.perf_counter() - t0
+        save_timings = getattr(idx, "_last_save_timings", None)
 
         env = dict(os.environ)
         env["KMERSEEK_BENCH_COLD_KSX"] = ksx
@@ -515,6 +516,8 @@ def _measure_production_cold(
                 f"cold child rc={r.returncode}: {r.stderr[-500:]}"
             )
         out["save_s"] = save_s
+        if save_timings:
+            out["save_timings"] = save_timings
         out["process_wall_s"] = wall_s
         # interpreter + jax-preimport boot: everything before the child's
         # own clock starts
