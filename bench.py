@@ -537,6 +537,22 @@ def _run_and_print_progressive(backend: str, search_deadline: float | None = Non
             _print_detail_then_compact(result)
         except Exception as e:
             print(f"extract+stitch measurement failed: {e!r}", file=sys.stderr)
+    # sharded persistence under a REAL 2-process Gloo group: build +
+    # save the 120k-target shards, then a fresh group loads + serves
+    # (VERDICT r4 ask #3's bench leg — records the sharded load time)
+    if search_deadline is None or time.monotonic() + 180 < search_deadline:
+        try:
+            from bench_search import measure_sharded_2proc
+
+            s = measure_sharded_2proc(backend)
+            result["detail"]["sharded_load_s"] = s["value"]
+            result["detail"]["sharded_2proc_qps"] = s["detail"][
+                "queries_per_second"
+            ]
+            result["detail"]["sharded_2proc"] = s["detail"]
+            _print_detail_then_compact(result)
+        except Exception as e:
+            print(f"sharded 2-proc measurement failed: {e!r}", file=sys.stderr)
     # BASELINE.json names "queries/s on UniProt-scale index": the sparse
     # hit-list engine vs a 524k-target / ~50M-posting synthetic corpus.
     # Heaviest step (host build ~40 s + compile), so it runs last and

@@ -314,6 +314,99 @@ def measure_extract_stitch(backend_label: str) -> dict:
     }
 
 
+def measure_sharded_2proc(backend_label: str) -> dict:
+    """Sharded persistence under a REAL 2-process group: build the
+    120k-target seeded corpus with the range-restricted exchange, save
+    each shard, then a FRESH process group reloads from disk and
+    serves the merged manysearch. Records per-process build/save/load/
+    search seconds — the bench leg VERDICT r4 ask #3 names (sharded
+    load must skip sketch + exchange entirely). Collectives are
+    Gloo/CPU (the process group is host-side; chip work is unaffected)."""
+    import socket
+    import subprocess
+    import tempfile
+    import time
+
+    worker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "_multihost_worker.py"
+    )
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    td = tempfile.mkdtemp(prefix="kseek_shard_")
+    try:
+        save_path = os.path.join(td, "scale.ksx")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = (
+            os.path.dirname(os.path.abspath(__file__))
+            + os.pathsep
+            + env.get("PYTHONPATH", "")
+        )
+        outs = {}
+        walls = {}
+        for mode in ("sharded_scale_build", "sharded_scale_load"):
+            t0 = time.perf_counter()
+            procs = [
+                subprocess.Popen(
+                    [
+                        sys.executable, worker, f"localhost:{port}", "2",
+                        str(i), "-", os.path.join(td, f"{mode}{i}.npz"), mode,
+                        save_path,
+                    ],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                    env=env,
+                )
+                for i in range(2)
+            ]
+            for i, p in enumerate(procs):
+                _, err = p.communicate(timeout=300)
+                if p.returncode != 0:
+                    raise RuntimeError(
+                        f"{mode} worker {i} rc={p.returncode}: {err[-400:]}"
+                    )
+            walls[mode] = time.perf_counter() - t0
+            outs[mode] = [
+                np.load(os.path.join(td, f"{mode}{i}.npz")) for i in range(2)
+            ]
+            port += 1  # fresh coordinator port for the second group
+        b = outs["sharded_scale_build"]
+        l = outs["sharded_scale_load"]
+        n_rows = len(l[0]["many_query_name"])
+        load_s = max(float(g["timers"][2]) for g in l)
+        search_s = max(float(g["timers"][3]) for g in l)
+        queries = 64  # _synth.synth_corpus default query block
+        return {
+            "metric": "sharded_load_seconds",
+            "value": load_s,
+            "unit": "s",
+            "detail": {
+                "targets": 120_000,
+                "postings": int(b[0]["local_postings"][0])
+                + int(b[1]["local_postings"][0]),
+                "build_s": max(float(g["timers"][0]) for g in b),
+                "save_s": max(float(g["timers"][1]) for g in b),
+                "load_s": load_s,
+                "search_s": search_s,
+                "merged_rows": n_rows,
+                "queries_per_second": queries / search_s if search_s else None,
+                "residency": [int(g["local_postings"][0]) for g in b],
+                "maxrss_mb": [
+                    round(int(g["maxrss_kb"][0]) / 1024) for g in l
+                ],
+                "build_group_wall_s": walls["sharded_scale_build"],
+                "load_group_wall_s": walls["sharded_scale_load"],
+                "backend": f"cpu-gloo ({backend_label} session)",
+            },
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def measure_search_sparse(
     backend_label: str,
     targets: int = 524288,

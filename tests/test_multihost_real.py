@@ -146,3 +146,60 @@ def test_two_process_hash_range_sharded_build_and_search(tmp_path):
                 assert np.array_equal(gv, e), f"multi.{k}"
             else:  # string columns (names / md5s / moltype)
                 assert gv.tolist() == e, f"multi.{k}"
+
+
+def test_two_process_sharded_scale_persist_reload(tmp_path):
+    """~10^5-target corpus under a REAL 2-process group: build with the
+    range-restricted exchange, SAVE each shard, then a FRESH process
+    group reloads from disk (no sketch, no exchange) — both groups'
+    merged manysearch bit-equal to the single-host engine, residency ≈
+    half the postings per process (VERDICT r4 asks #3 + #8)."""
+    import time
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _synth import synth_indexes
+
+    save_path = str(tmp_path / "scale.ksx")
+    t0 = time.perf_counter()
+    outs_b = _run_group(tmp_path, ["sharded_scale_build", save_path], "sb")
+    build_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs_l = _run_group(tmp_path, ["sharded_scale_load", save_path], "sl")
+    load_wall = time.perf_counter() - t0
+
+    from kmerseek_tpu.core.search import manysearch_columns
+
+    target, query = synth_indexes()
+    expected = manysearch_columns(query, target)
+    assert len(expected["query_name"]) > 0
+    n_total = target.inverted.n_postings
+
+    got_b = [np.load(p) for p in outs_b]
+    got_l = [np.load(p) for p in outs_l]
+    for tag, got in (("build", got_b), ("load", got_l)):
+        assert (
+            int(got[0]["local_postings"][0]) + int(got[1]["local_postings"][0])
+            == n_total
+        ), tag
+        for i, g in enumerate(got):
+            assert g["shard"].tolist() == [i, 2], tag
+            # residency: ≈ N/2 resident postings AND bytes per process
+            # (murmur uniformity); RSS is recorded for the report but
+            # dominated by the interpreter at this corpus size
+            frac = int(g["local_postings"][0]) / n_total
+            assert 0.4 < frac < 0.6, (tag, i, frac)
+            assert int(g["local_bytes"][0]) < 0.6 * 16 * n_total, (tag, i)
+            for k, e in expected.items():
+                gv = g[f"many_{k}"]
+                if isinstance(e, np.ndarray):
+                    assert np.array_equal(gv, e), f"{tag}.many.{k}"
+                else:
+                    assert gv.tolist() == e, f"{tag}.many.{k}"
+    # the load group must be pure load+search: per-process load under
+    # 5 s (mmap open is O(1)) and no build/save time at all
+    for g in got_l:
+        build_s, save_s, load_s, search_s = g["timers"].tolist()
+        assert build_s == 0.0 and save_s == 0.0
+        assert load_s < 5.0
+    # fits the CI budget the verdict set (<~2 min for the whole leg)
+    assert build_wall + load_wall < 120, (build_wall, load_wall)
