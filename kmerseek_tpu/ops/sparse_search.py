@@ -708,7 +708,7 @@ def _start_async_fetch(views) -> None:
             pass
 
 
-def _sparse_single(
+def _sparse_launch(
     inv: InvertedIndex,
     q_hi,
     q_lo,
@@ -716,8 +716,13 @@ def _sparse_single(
     capacity: int | None,
     max_run: int,
     run_offset: int = 0,
-) -> SparseHits:
-    """One kernel invocation (+ one exact-capacity retry on overflow)."""
+) -> dict:
+    """Dispatch one kernel invocation WITHOUT syncing.
+
+    Returns a state dict for ``_sparse_finish``. Splitting launch from
+    finish lets a stream of query blocks pipeline: while block i's hit
+    buffers cross the tunnel and assemble on host, block i+1's kernel
+    is already running (``sparse_search_stream``)."""
     Q, S = np.asarray(q_hi).shape
     retry_on_overflow = capacity is None
     if capacity is None:
@@ -774,6 +779,31 @@ def _sparse_single(
         hv = min(int(hv), int(capacity))
         opt = _hit_views(q_out, t_out, counts, weights, hv, tc_32, q_b, skip_w)
         _start_async_fetch(opt)
+    return {
+        "run": run,
+        "buffers": (q_out, t_out, counts, weights, stats),
+        "opt": opt,
+        "hv": hv,
+        "shape_key": shape_key,
+        "capacity": int(capacity),
+        "expand_e": expand_e,
+        "retry_on_overflow": retry_on_overflow,
+        "Qn": Qn,
+        "Sn": Sn,
+        "max_run": max_run,
+        "flags": (wide, tc_32, q_b, skip_w),
+    }
+
+
+def _sparse_finish(inv: InvertedIndex, st: dict) -> SparseHits:
+    """Sync + fetch + assemble one launched invocation (with the rare
+    undersized-budget / overflow retries run synchronously)."""
+    run = st["run"]
+    q_out, t_out, counts, weights, stats = st["buffers"]
+    opt, hv = st["opt"], st["hv"]
+    capacity, expand_e = st["capacity"], st["expand_e"]
+    Qn, Sn, max_run = st["Qn"], st["Sn"], st["max_run"]
+    wide, tc_32, q_b, skip_w = st["flags"]
     n, m = (int(v) for v in np.asarray(stats))
     if expand_e is not None and m > expand_e:
         # compact budget undersized: retry at the exact match total
@@ -783,7 +813,7 @@ def _sparse_single(
         opt = None
     if expand_e is not None:
         _note_expand(inv, Qn, Sn, m)
-    if retry_on_overflow and n > capacity:
+    if st["retry_on_overflow"] and n > capacity:
         capacity = ((n + 127) // 128) * 128
         q_out, t_out, counts, weights, stats = run(int(capacity), expand_e)
         n = int(np.asarray(stats)[0])
@@ -796,12 +826,28 @@ def _sparse_single(
     # capacity) distinct slice programs ever compile (each distinct
     # static length is its own XLA program — costly over the tunnel).
     hp = _trim_len(h, capacity)
-    _note_hp(inv, shape_key, hp)
+    _note_hp(inv, st["shape_key"], hp)
     if opt is not None and h <= hv:
         return _mk_hits(opt, h, n, wide, tc_32, q_b, skip_w)
     views = _hit_views(q_out, t_out, counts, weights, hp, tc_32, q_b, skip_w)
     _start_async_fetch(views)
     return _mk_hits(views, h, n, wide, tc_32, q_b, skip_w)
+
+
+def _sparse_single(
+    inv: InvertedIndex,
+    q_hi,
+    q_lo,
+    q_valid,
+    capacity: int | None,
+    max_run: int,
+    run_offset: int = 0,
+) -> SparseHits:
+    """One kernel invocation (+ one exact-capacity retry on overflow)."""
+    return _sparse_finish(
+        inv,
+        _sparse_launch(inv, q_hi, q_lo, q_valid, capacity, max_run, run_offset),
+    )
 
 
 # total output-slot budget for one scan launch (C · capacity): bounds
@@ -1180,3 +1226,74 @@ def sparse_search(
     return _sparse_single(
         inv, q_hi, q_lo, q_valid, capacity=capacity, max_run=inv.max_run
     )
+
+
+def sparse_search_stream(
+    index,
+    blocks,
+    capacity: int | None = None,
+    q_chunk: int | None = None,
+    run_chunk: int | None = None,
+):
+    """Pipelined sparse search over a STREAM of query blocks.
+
+    The production serving pattern: a loaded index answers query block
+    after query block. Per-block ``sparse_search`` serializes kernel →
+    stats sync → hit fetch → host assembly, so the device idles during
+    every tunnel transfer; this generator keeps ONE block in flight —
+    while block i's trimmed hit buffers cross the tunnel and assemble
+    on host, block i+1's kernel is already dispatched (jax dispatch is
+    async). Steady-state wall per block drops from kernel+fetch to
+    ~max(kernel, fetch) (VERDICT r4 ask #2's "pipeline multiple query
+    blocks per sync" option).
+
+    ``blocks`` yields ``(q_hi, q_lo, q_valid)`` device (or host)
+    arrays. Results are yielded in block order and are bit-identical to
+    per-block ``sparse_search`` calls (tested). Blocks that need the
+    non-pipelined machinery (query chunking above ``q_chunk``,
+    run-offset tiling) fall back to ``sparse_search`` for that block —
+    the stream stays correct, just unpipelined there.
+    """
+    import jax.numpy as jnp
+
+    inv = getattr(index, "inverted", None)
+    if not isinstance(inv, (InvertedIndex, DeviceInvertedIndex)):
+        inv = build_inverted_np(index.mins, index.abundances, index.offsets)
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.inverted = inv
+    pending = None
+    tile = run_chunk if run_chunk is not None else _RUN_TILE
+    for blk in blocks:
+        q_hi, q_lo, q_valid = blk
+        Q, S = np.asarray(q_hi).shape
+        simple = (
+            inv.n_postings > 0
+            and (q_chunk is None or Q <= q_chunk)
+            and inv.max_run <= max(1, min(tile, (2**31 - 1) // max(Q * S, 1)))
+        )
+        if not simple:
+            if pending is not None:
+                yield _sparse_finish(inv, pending)
+                pending = None
+            yield sparse_search(
+                shim, q_hi, q_lo, q_valid,
+                capacity=capacity, q_chunk=q_chunk, run_chunk=run_chunk,
+            )
+            continue
+        st = _sparse_launch(
+            inv,
+            jnp.asarray(q_hi),
+            jnp.asarray(q_lo),
+            jnp.asarray(q_valid),
+            capacity,
+            inv.max_run,
+        )
+        if pending is not None:
+            yield _sparse_finish(inv, pending)
+        pending = st
+    if pending is not None:
+        yield _sparse_finish(inv, pending)
