@@ -692,20 +692,26 @@ def _production_cold_child() -> None:
     import jax.numpy as jnp
 
     from kmerseek_tpu.core.index import ProteomeIndex
-    from kmerseek_tpu.ops.inverted import device_postings
-    from kmerseek_tpu.ops.sparse_search import sparse_search, sparse_search_host
+    from kmerseek_tpu.ops.sparse_search import (
+        sparse_search,
+        sparse_search_host,
+        warm_sparse_engine,
+    )
 
     t0 = time.perf_counter()
     idx = ProteomeIndex.load(ksx)
     load_s = time.perf_counter() - t0
 
-    # start the corpus-sized device upload NOW, off-thread — the host
-    # engine serves meanwhile
+    # start the corpus-sized device upload AND the serving-shape compile
+    # NOW, off-thread — the host engine serves meanwhile, and the
+    # handover block pays execution only (warm_sparse_engine compiles
+    # the production program on an all-invalid dummy block; VERDICT r4
+    # ask #4)
     upload_err = []
 
     def _upload():
         try:
-            device_postings(idx.inverted)
+            warm_sparse_engine(idx, (queries, sketch), q_chunk=q_chunk)
         except Exception as e:  # surfaced after the serve
             upload_err.append(repr(e))
 
