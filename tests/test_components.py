@@ -301,3 +301,60 @@ def test_compile_cache_seeding(tmp_path, monkeypatch):
     monkeypatch.setenv("KMERSEEK_NO_CACHE_SEED", "1")
     _seed_compile_cache(str(dst))
     assert not (dst / "jit_h-cccc-cache").exists()
+
+
+def test_bench_compact_record_contract():
+    """bench.py's compact summary line (the LAST stdout line the driver
+    parses) must stay short and carry every headline metric — BENCH_r04
+    was lost to an oversized final line (VERDICT r4 ask #1)."""
+    import json
+
+    import bench
+
+    result = {
+        "metric": "sketch_kmers_per_second",
+        "value": 1.321e9,
+        "unit": "kmers/s",
+        "vs_baseline": 26.3,
+        "detail": {
+            "cpu_1t_kmers_per_s": 5.02e7,
+            "pct_of_vpu_speed_of_light": 56.4,
+            "backend": "tpu (accelerator)",
+            "search_queries_per_second": 112513.4,
+            "search": {"queries": 4096, "block_autotune": {"x": 1}},
+            "manysearch_end_to_end_queries_per_second": 16666.1,
+            "manysearch_end_to_end": {"rows_per_s": 1662935.75, "big": "y" * 3000},
+            "multisearch_end_to_end_queries_per_second": 6976.45,
+            "multisearch_end_to_end": {"rows_per_s": 695915.22},
+            "extract_stitch_sidecar_rows_per_second": 30253.0,
+            "sharded_load_s": 0.044,
+            "sharded_2proc_qps": 35.9,
+            "uniprot_scale_sparse": {
+                "targets": 524288,
+                "warm_queries_per_second": 4120.41,
+                "cold_queries_per_second": 51.7,
+                "production_cold": {
+                    "device_first_block_s": 0.87,
+                    "device_cold_queries_per_second": 54.9,
+                    "save_s": 12.3,
+                    "load_s": 0.037,
+                },
+            },
+        },
+    }
+    line = json.dumps(bench._compact(result))
+    assert len(line) < 1800
+    rec = json.loads(line)
+    assert rec["metric"] == "sketch_kmers_per_second"
+    assert rec["vs_baseline"] == 26.3
+    s = rec["summary"]
+    for key in (
+        "sketch_kmers_per_s", "dense_search_qps", "dense_block",
+        "manysearch_e2e_qps", "multisearch_e2e_qps",
+        "extract_stitch_rows_per_s", "sparse_warm_qps", "sparse_cold_qps",
+        "cold_device_first_block_s", "cold_save_s", "sharded_load_s",
+        "backend",
+    ):
+        assert key in s, key
+    # multi-KB nested detail must never leak into the compact line
+    assert "big" not in line
