@@ -635,19 +635,6 @@ class ProteomeIndex:
         t_total = time.perf_counter()
         timings: dict = {}
         os.makedirs(path, exist_ok=True)
-        meta = {
-            "format_version": INDEX_FORMAT_VERSION,
-            "ksize": self.config.ksize,
-            "scaled": self.config.scaled,
-            "moltype": self.config.moltype,
-            "n_signatures": len(self),
-            "source_fasta": self.source_fasta,
-            "names": self.names,
-            "has_sequences": self.sequences is not None,
-            "md5s": [self.md5_for(i) for i in range(len(self))],
-        }
-        with open(os.path.join(path, "metadata.json"), "w") as f:
-            json.dump(meta, f)
         # persist the inverted posting arrays (search index) so loads
         # skip the global argsort — branchwater do_index parity. Big
         # arrays go as individual raw .npy members (format 2): loads
@@ -716,7 +703,30 @@ class ProteomeIndex:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
-            for name, rec, dt in pool.map(_write, members.items()):
+            futures = [pool.submit(_write, it) for it in members.items()]
+            # metadata (incl. the per-signature sourmash md5s — O(total
+            # mins) Python string work, ~15 s at 50M postings) computes
+            # on the MAIN thread while the write threads hold the disk:
+            # the two costs overlap instead of adding (measured the
+            # single largest term of the r4 51 s save after the
+            # permutation download fix)
+            t1 = time.perf_counter()
+            meta = {
+                "format_version": INDEX_FORMAT_VERSION,
+                "ksize": self.config.ksize,
+                "scaled": self.config.scaled,
+                "moltype": self.config.moltype,
+                "n_signatures": len(self),
+                "source_fasta": self.source_fasta,
+                "names": self.names,
+                "has_sequences": self.sequences is not None,
+                "md5s": [self.md5_for(i) for i in range(len(self))],
+            }
+            with open(os.path.join(path, "metadata.json"), "w") as f:
+                json.dump(meta, f)
+            timings["md5_metadata_s"] = time.perf_counter() - t1
+            for fut in futures:
+                name, rec, dt = fut.result()
                 manifest["files"][name] = rec
                 timings.setdefault("member_write_s", {})[name] = round(dt, 3)
         timings["members_total_s"] = time.perf_counter() - t0
