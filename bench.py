@@ -404,13 +404,17 @@ def main():
 
 def _sig(x, digits: int = 4):
     """Round to a few significant digits — the compact line must stay
-    well under the driver's 2000-char tail capture."""
+    well under the driver's 2000-char tail capture. NaN/inf pass
+    through as None (floor(log10) raises on them, and one bad metric
+    must never cost the whole record — code-review r5)."""
+    from math import floor, isfinite, log10
+
     if x is None or not isinstance(x, (int, float)):
         return x
+    if isinstance(x, float) and not isfinite(x):
+        return None
     if x == 0:
         return 0
-    from math import floor, log10
-
     return round(x, max(digits - 1 - floor(log10(abs(x))), 0))
 
 

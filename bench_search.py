@@ -330,10 +330,15 @@ def measure_sharded_2proc(backend_label: str) -> dict:
     worker = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "_multihost_worker.py"
     )
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
+
+    def _free_port() -> int:
+        s = socket.socket()
+        try:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
+        finally:
+            s.close()
+
     td = tempfile.mkdtemp(prefix="kseek_shard_")
     try:
         save_path = os.path.join(td, "scale.ksx")
@@ -346,6 +351,7 @@ def measure_sharded_2proc(backend_label: str) -> dict:
         outs = {}
         walls = {}
         for mode in ("sharded_scale_build", "sharded_scale_load"):
+            port = _free_port()  # fresh coordinator port per group
             t0 = time.perf_counter()
             procs = [
                 subprocess.Popen(
@@ -371,7 +377,6 @@ def measure_sharded_2proc(backend_label: str) -> dict:
             outs[mode] = [
                 np.load(os.path.join(td, f"{mode}{i}.npz")) for i in range(2)
             ]
-            port += 1  # fresh coordinator port for the second group
         b = outs["sharded_scale_build"]
         l = outs["sharded_scale_load"]
         n_rows = len(l[0]["many_query_name"])

@@ -379,7 +379,8 @@ class DeviceInvertedIndex:
         # build-time scalar so max_abundance() never forces a download
         self.max_ab = None if max_ab is None else int(max_ab)
         # device sort permutation (int32) — lets persistence download
-        # 4 bytes/posting instead of the 16-byte packed rows
+        # 4 bytes/posting instead of the 16-byte packed rows; pins
+        # ~4 B/posting of HBM until a save consumes (and frees) it
         self.perm_dev = perm_dev
         self._host_cols = None
         self._host_starts = None
@@ -420,6 +421,13 @@ class DeviceInvertedIndex:
         from .u64 import split_np
 
         perm = np.asarray(self.perm_dev)
+        # consumed exactly once (save path): free the ~4 B/posting HBM
+        # immediately — a serving process never touches it again
+        try:
+            self.perm_dev.delete()
+        except Exception:
+            pass
+        self.perm_dev = None
         g64 = np.asarray(mins, np.uint64)[perm]
         g_hi, g_lo = split_np(g64)
         counts = np.diff(offsets)

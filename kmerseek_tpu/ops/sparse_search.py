@@ -621,7 +621,18 @@ def _expand_budget(inv: InvertedIndex, Q: int, S: int, max_run: int):
     return max(128, min(e, _qpow2(Q * S * max_run)))
 
 
+# thread-local warming flag: a warm_sparse_engine dummy block (zero
+# matches) must not poison the learned budgets — _note_expand(m=0)
+# would shrink E to the floor and the first REAL block would compile a
+# different program AND pay the undersize retry (code-review r5)
+import threading as _threading
+
+_warming_state = _threading.local()
+
+
 def _note_expand(inv: InvertedIndex, Q: int, S: int, m_seen: int) -> None:
+    if getattr(_warming_state, "active", False):
+        return
     owner = _cache_owner(inv)
     key = (id(owner), Q, S)
     prev = _cache_get(_EXPAND_CACHE, key, owner) or 0
@@ -652,6 +663,8 @@ def _hp_hint(inv: InvertedIndex, shape: tuple):
 
 
 def _note_hp(inv: InvertedIndex, shape: tuple, hp: int) -> None:
+    if getattr(_warming_state, "active", False):
+        return
     owner = _cache_owner(inv)
     _cache_put(
         _HP_CACHE, _HP_CACHE_SLOTS, (id(owner),) + shape, owner, int(hp)
@@ -723,7 +736,7 @@ def _sparse_launch(
     finish lets a stream of query blocks pipeline: while block i's hit
     buffers cross the tunnel and assemble on host, block i+1's kernel
     is already running (``sparse_search_stream``)."""
-    Q, S = np.asarray(q_hi).shape
+    Q, S = np.shape(q_hi)
     retry_on_overflow = capacity is None
     if capacity is None:
         # worst case (every probed posting a distinct pair) can be huge;
@@ -1155,7 +1168,7 @@ def sparse_search(
     inv = getattr(index, "inverted", None)
     if not isinstance(inv, (InvertedIndex, DeviceInvertedIndex)):
         inv = build_inverted_np(index.mins, index.abundances, index.offsets)
-    Q, S = np.asarray(q_hi).shape
+    Q, S = np.shape(q_hi)
     if inv.n_postings == 0:
         z = np.zeros(0, np.int32)
         return SparseHits(z, z, z, z.astype(np.int64), 0)
@@ -1269,7 +1282,7 @@ def sparse_search_stream(
     tile = run_chunk if run_chunk is not None else _RUN_TILE
     for blk in blocks:
         q_hi, q_lo, q_valid = blk
-        Q, S = np.asarray(q_hi).shape
+        Q, S = np.shape(q_hi)
         simple = (
             inv.n_postings > 0
             and (q_chunk is None or Q <= q_chunk)
@@ -1315,11 +1328,17 @@ def warm_sparse_engine(
     every static argument of the production program: corpus-derived
     flags (weight elision, transport widths), the learned expansion
     budget, and the default capacity — so the compiled program IS the
-    production program. Returns True when the dummy produced the
-    expected empty hit list."""
+    production program. Hint LEARNING is suppressed for the dummy (its
+    zero matches would otherwise shrink the learned budgets to the
+    floor and un-warm the real block — code-review r5). Returns True
+    when the dummy produced the expected empty hit list."""
     Q, S = q_shape
     q_hi = jnp.full((Q, S), 0xFFFFFFFF, jnp.uint32)
     q_lo = jnp.full((Q, S), 0xFFFFFFFF, jnp.uint32)
     q_valid = jnp.zeros((Q, S), bool)
-    hits = sparse_search(index, q_hi, q_lo, q_valid, q_chunk=q_chunk)
+    _warming_state.active = True
+    try:
+        hits = sparse_search(index, q_hi, q_lo, q_valid, q_chunk=q_chunk)
+    finally:
+        _warming_state.active = False
     return hits.n_hits == 0

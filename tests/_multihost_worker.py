@@ -136,7 +136,7 @@ def _sharded_scale(pid, nprocs, out, mode, save_path):
     )
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from _synth import synth_indexes
+    from _synth import synth_indexes, synth_query_index
 
     cfg = IndexConfig(16, 5, "hp")
     t_build = time.perf_counter()
@@ -165,7 +165,9 @@ def _sharded_scale(pid, nprocs, out, mode, save_path):
         save_s = time.perf_counter() - t0
         load_s = 0.0
     else:
-        _target, query = synth_indexes()  # query block only (replicated)
+        # query block only (replicated) — a load-only restart must not
+        # pay the 120k-target corpus construction (code-review r5)
+        query = synth_query_index()
         t0 = time.perf_counter()
         sharded = load_sharded_index(save_path, pid, nprocs)
         load_s = time.perf_counter() - t0

@@ -1044,3 +1044,41 @@ def test_sparse_search_stream_bit_equal():
         assert g.n_hits == e.n_hits
         for a, b in zip(e[:4], g[:4]):
             assert np.array_equal(a, b)
+
+
+def test_warm_sparse_engine_does_not_poison_hints():
+    """warm_sparse_engine's zero-match dummy must not shrink the
+    learned expansion budget or fetch-length hints — otherwise the
+    first REAL block compiles a different program AND pays the
+    undersize retry, un-warming the handover (code-review r5)."""
+    import kmerseek_tpu.ops.sparse_search as sp
+    from kmerseek_tpu.ops.sparse_search import (
+        _expand_budget,
+        warm_sparse_engine,
+    )
+
+    rng = np.random.default_rng(211)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=300, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(50, 20, pool, 212)
+    query = _mk_index(12, 15, pool, 213)
+    q_hi, q_lo, q_valid = _query_block(query)
+    Q, S = q_hi.shape
+
+    # learn real budgets with a real block first
+    hits = sparse_search(target, q_hi, q_lo, q_valid)
+    assert hits.n_hits > 0
+    inv = target.inverted
+    e_before = _expand_budget(inv, Q, S, inv.max_run)
+    hp_before = dict(sp._HP_CACHE)
+
+    assert warm_sparse_engine(target, (Q, S))
+    assert _expand_budget(inv, Q, S, inv.max_run) == e_before
+    assert {k: v[1] for k, v in sp._HP_CACHE.items()} == {
+        k: v[1] for k, v in hp_before.items()
+    }
+    # and results after warming are unchanged
+    hits2 = sparse_search(target, q_hi, q_lo, q_valid)
+    for a, b in zip(hits[:4], hits2[:4]):
+        assert np.array_equal(a, b)
