@@ -292,16 +292,8 @@ def _device_build_sorted(hi, lo, tid, ab):
     # (hash, tid) pairs are unique (one posting per target per hash) and
     # the concatenation order is tid-ascending, so breaking hash ties by
     # tid reproduces the stable order exactly — while letting XLA use
-    # the cheaper non-stable comparator network. The rider iota comes
-    # out as the sort PERMUTATION: persistence downloads these 4 bytes/
-    # posting instead of the 16-byte packed rows and re-derives the
-    # host columns by gathering the (already host-resident) CSR source
-    # arrays — a 4x cut in tunnel bytes on the .ksx save path.
-    sh, sl, st, sa, sperm = jax.lax.sort(
-        (hi, lo, tid, ab, jnp.arange(n, dtype=jnp.int32)),
-        num_keys=3,
-        is_stable=False,
-    )
+    # the cheaper non-stable comparator network.
+    sh, sl, st, sa = jax.lax.sort((hi, lo, tid, ab), num_keys=3, is_stable=False)
     g4 = jnp.stack(
         [sh, sl, st.astype(jnp.uint32), sa.astype(jnp.uint32)], axis=1
     )
@@ -330,7 +322,7 @@ def _device_build_sorted(hi, lo, tid, ab):
     starts = jnp.concatenate([starts, jnp.full((1,), n, jnp.int32)])
     max_span = jnp.maximum(jnp.max(jnp.diff(starts)), 1)
     scalars = jnp.stack([max_run, max_span, shift, max_ab])
-    return g4, starts, scalars, sperm
+    return g4, starts, scalars
 
 
 # one jitted program per posting count N (shape-specialized, like every
@@ -361,14 +353,13 @@ class DeviceInvertedIndex:
         "max_span",
         "bucket_shift",
         "max_ab",
-        "perm_dev",
         "_host_cols",
         "_host_starts",
     )
 
     def __init__(
         self, g4_dev, bucket_starts_dev, n_targets, max_run, max_span,
-        bucket_shift, max_ab=None, perm_dev=None,
+        bucket_shift, max_ab=None,
     ):
         self.g4_dev = g4_dev
         self.bucket_starts_dev = bucket_starts_dev
@@ -378,10 +369,6 @@ class DeviceInvertedIndex:
         self.bucket_shift = int(bucket_shift)
         # build-time scalar so max_abundance() never forces a download
         self.max_ab = None if max_ab is None else int(max_ab)
-        # device sort permutation (int32) — lets persistence download
-        # 4 bytes/posting instead of the 16-byte packed rows; pins
-        # ~4 B/posting of HBM until a save consumes (and frees) it
-        self.perm_dev = perm_dev
         self._host_cols = None
         self._host_starts = None
 
@@ -404,30 +391,26 @@ class DeviceInvertedIndex:
         return self._host_cols
 
     def ensure_host_from_source(self, mins, abundances, offsets) -> bool:
-        """Materialize the host posting columns by PERMUTATION instead
-        of downloading the packed rows.
+        """Materialize the host posting columns TUNNEL-FREE from the
+        host-resident CSR source arrays.
 
-        The device build keeps its sort permutation (``perm_dev``,
-        int32); given the host-resident CSR source arrays this derives
-        bit-identical columns with a 4-byte/posting download plus four
-        host gathers — a 4x cut in tunnel bytes on the ``.ksx`` save
-        path (the tunnel D2H is the save's dominant term at corpus
-        scale). No-op (returns False) when the permutation is absent or
-        the columns are already materialized."""
+        The device build's posting order is exactly the stable-by-hash
+        argsort of the CSR concatenation (hash ties break tid-ascending
+        = input order — see ``_device_build_sorted``; bit-equality
+        tested), so the host radix argsort reproduces the permutation
+        without downloading ANYTHING. Measured: the 16-byte/posting
+        packed-row download cost 20-90 s per save depending on tunnel
+        weather; the host radix argsort is ~11 s at 50M postings,
+        GIL-releasing (overlaps the member writes in ``save``), and
+        weather-independent. No-op (returns False) when the columns are
+        already materialized or the source length mismatches."""
         if self._host_cols is not None:
             return False
-        if self.perm_dev is None or len(mins) != self.n_postings:
+        if len(mins) != self.n_postings:
             return False
         from .u64 import split_np
 
-        perm = np.asarray(self.perm_dev)
-        # consumed exactly once (save path): free the ~4 B/posting HBM
-        # immediately — a serving process never touches it again
-        try:
-            self.perm_dev.delete()
-        except Exception:
-            pass
-        self.perm_dev = None
+        perm = _stable_argsort_u64(np.asarray(mins, np.uint64))
         g64 = np.asarray(mins, np.uint64)[perm]
         g_hi, g_lo = split_np(g64)
         counts = np.diff(offsets)
@@ -519,13 +502,12 @@ def build_inverted_dev(mins, abundances, offsets) -> DeviceInvertedIndex:
     ab = np.asarray(abundances)
     if ab.dtype != np.int32:
         ab = ab.astype(np.int32)
-    g4, starts, scalars, perm = _device_build_jit(
+    g4, starts, scalars = _device_build_jit(
         jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(tid), jnp.asarray(ab)
     )
     s = np.asarray(scalars)
     return DeviceInvertedIndex(
-        g4, starts, T, int(s[0]), int(s[1]), int(s[2]), max_ab=int(s[3]),
-        perm_dev=perm,
+        g4, starts, T, int(s[0]), int(s[1]), int(s[2]), max_ab=int(s[3])
     )
 
 
