@@ -655,10 +655,18 @@ class ProteomeIndex:
         #      computes checksums + the per-signature md5 metadata
         #      (~14 s of GIL-bound string work at 50M postings).
         def _write(item):
+            # temp + os.replace: atomic, and re-saving a LOADED index
+            # into its own directory never truncates the inode backing
+            # a live memmap (np.save's "wb" on the final name would —
+            # SIGBUS under the mapping; the old inode stays alive until
+            # the mapping drops). Code-review r5.
             name, arr = item
             t1 = time.perf_counter()
             fp = os.path.join(path, f"{name}.npy")
-            np.save(fp, np.ascontiguousarray(arr))
+            tmp = f"{fp}.tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:  # np.save on a PATH appends .npy
+                np.save(f, np.ascontiguousarray(arr))
+            os.replace(tmp, fp)
             return name, {
                 "bytes": os.path.getsize(fp),
                 "len": int(len(arr)),

@@ -355,6 +355,7 @@ class DeviceInvertedIndex:
         "max_ab",
         "_host_cols",
         "_host_starts",
+        "_g64",
     )
 
     def __init__(
@@ -371,6 +372,7 @@ class DeviceInvertedIndex:
         self.max_ab = None if max_ab is None else int(max_ab)
         self._host_cols = None
         self._host_starts = None
+        self._g64 = None
 
     @property
     def n_postings(self) -> int:
@@ -410,8 +412,10 @@ class DeviceInvertedIndex:
             return False
         from .u64 import split_np
 
-        perm = _stable_argsort_u64(np.asarray(mins, np.uint64))
-        g64 = np.asarray(mins, np.uint64)[perm]
+        mins_u64 = np.asarray(mins, np.uint64)
+        perm = _stable_argsort_u64(mins_u64)
+        g64 = mins_u64[perm]
+        self._g64 = g64  # save() checksums reuse it (one join avoided)
         g_hi, g_lo = split_np(g64)
         counts = np.diff(offsets)
         tid = np.repeat(np.arange(len(counts), dtype=np.int32), counts)[perm]
@@ -449,9 +453,11 @@ class DeviceInvertedIndex:
         return self._host_starts
 
     def g64(self) -> np.ndarray:
-        from .u64 import join_np
+        if self._g64 is None:
+            from .u64 import join_np
 
-        return join_np(self.g_hi, self.g_lo)
+            self._g64 = join_np(self.g_hi, self.g_lo)
+        return self._g64
 
     def packed(self) -> np.ndarray:
         h = self._host()

@@ -333,7 +333,10 @@ def save_sharded_index(sharded: ShardedProteomeIndex, path: str) -> str:
     }
     for name, arr in members.items():
         fp = os.path.join(d, f"{name}.npy")
-        np.save(fp, np.ascontiguousarray(arr))
+        tmp = f"{fp}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:  # temp+replace: atomic, never
+            np.save(f, np.ascontiguousarray(arr))  # truncates a live
+        os.replace(tmp, fp)  # memmap's inode (np.save on a path appends .npy)
         manifest["files"][name] = {
             "bytes": os.path.getsize(fp),
             "len": int(len(arr)),

@@ -474,3 +474,45 @@ def test_build_search_property_fuzz(tmp_path):
         self_rows = [r for r in rows if r["query_name"] == r["match_name"]]
         assert len(self_rows) == int((counts > 0).sum())
         assert all(r["containment"] == 1.0 for r in self_rows)
+
+
+def test_resave_loaded_index_into_own_directory(tmp_path):
+    """Re-saving a LOADED (mmap-backed) index into its own .ksx
+    directory must not truncate the inodes backing the live memmaps
+    (np.save straight onto the final name would — SIGBUS under the
+    mapping; save() writes temp + os.replace). Code-review r5."""
+    import numpy as np
+
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+
+    rng = np.random.default_rng(31)
+    mins_rows = [
+        np.sort(
+            np.unique(rng.integers(0, 2**62, size=20, dtype=np.uint64))
+        )
+        for _ in range(6)
+    ]
+    counts = np.array([len(m) for m in mins_rows], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    mins = np.concatenate(mins_rows)
+    idx = ProteomeIndex(
+        IndexConfig(16, 5, "hp"),
+        [f"t{i}" for i in range(6)],
+        mins,
+        np.ones(len(mins), np.int64),
+        offsets,
+    )
+    p = str(tmp_path / "own.ksx")
+    idx.save(p)
+    loaded = ProteomeIndex.load(p)  # members mmap'd
+    _ = loaded.inverted  # touch the postings
+    loaded.save(p)  # re-save into the SAME directory while mapped
+    again = ProteomeIndex.load(p)
+    assert np.array_equal(np.asarray(again.mins), mins)
+    assert np.array_equal(
+        np.asarray(again.inverted.g64()), np.asarray(loaded.inverted.g64())
+    )
+    # and the still-open first mapping remains readable (old inode alive)
+    assert int(np.asarray(loaded.mins).sum(dtype=np.uint64)) == int(
+        mins.sum(dtype=np.uint64)
+    )
