@@ -89,6 +89,7 @@ def _sparse_hits_core(
     q_hi,
     q_lo,
     q_valid,
+    rl=None,
     *,
     n_targets: int,
     max_run: int,
@@ -186,31 +187,50 @@ def _sparse_hits_core(
         m_total = jnp.sum(match.astype(jnp.int32))
     else:
         E = expand_e
-        # exact run length: lower_bound(hash+1) - lower_bound(hash).
-        # (hash == u64::MAX wraps to 0 — its upper bound is N.)
-        lo1 = q_lo + jnp.uint32(1)
-        hi1 = q_hi + (lo1 == 0).astype(jnp.uint32)
-        wrapped = (q_hi == jnp.uint32(0xFFFFFFFF)) & (
-            q_lo == jnp.uint32(0xFFFFFFFF)
-        )
-        # the second probe needs only the span [pos, pos + true_max_run]:
-        # a run of equal hashes can never exceed the corpus' build-time
-        # max run, so ub always lands there — log2(max_run) bisect
-        # rounds instead of re-searching the whole bucket span (the two
-        # probes were ~half the kernel's gather budget; measured on-chip
-        # r4). ``max_run`` here may be a run-offset TILE width; the true
-        # run bound is the index-wide ``true_max_run``.
-        ub_steps = max(int(true_max_run).bit_length(), 1)
-        ub = _bisect_rounds_packed(
-            g4,
-            hi1,
-            lo1,
-            pos,
-            jnp.minimum(pos + jnp.int32(true_max_run), N),
-            ub_steps,
-        )
-        ub = jnp.where(wrapped, jnp.int32(N), ub)
-        cnt = jnp.where(q_valid, ub - pos, 0)
+        if rl is not None:
+            # run-length LOOKUP: rl[i] = length of the run containing
+            # posting i (device-derived from g4 once per index,
+            # ``device_run_lengths``). The lower bound lands on a run
+            # start; one row gather confirms the hash matches and one
+            # int32 gather reads the exact run length — replacing the
+            # whole hash+1 upper-bound bisect (log2(max_run) row
+            # gathers per probe ≈ a quarter of the kernel's gather
+            # budget, ROADMAP r5 budget split).
+            posc = jnp.clip(pos, 0, N - 1)
+            row0 = jnp.take(g4, posc, axis=0)  # (Q, S, 4)
+            matched = (
+                q_valid
+                & (row0[..., 0] == q_hi)
+                & (row0[..., 1] == q_lo)
+                & (pos < N)
+            )
+            cnt = jnp.where(matched, jnp.take(rl, posc), 0)
+        else:
+            # exact run length: lower_bound(hash+1) - lower_bound(hash).
+            # (hash == u64::MAX wraps to 0 — its upper bound is N.)
+            lo1 = q_lo + jnp.uint32(1)
+            hi1 = q_hi + (lo1 == 0).astype(jnp.uint32)
+            wrapped = (q_hi == jnp.uint32(0xFFFFFFFF)) & (
+                q_lo == jnp.uint32(0xFFFFFFFF)
+            )
+            # the second probe needs only the span
+            # [pos, pos + true_max_run]: a run of equal hashes can
+            # never exceed the corpus' build-time max run, so ub always
+            # lands there — log2(max_run) bisect rounds instead of
+            # re-searching the whole bucket span. ``max_run`` here may
+            # be a run-offset TILE width; the true run bound is the
+            # index-wide ``true_max_run``.
+            ub_steps = max(int(true_max_run).bit_length(), 1)
+            ub = _bisect_rounds_packed(
+                g4,
+                hi1,
+                lo1,
+                pos,
+                jnp.minimum(pos + jnp.int32(true_max_run), N),
+                ub_steps,
+            )
+            ub = jnp.where(wrapped, jnp.int32(N), ub)
+            cnt = jnp.where(q_valid, ub - pos, 0)
         # run-offset window [run_offset, run_offset + max_run)
         cnt = jnp.clip(cnt - jnp.int32(run_offset), 0, max_run)
         cntf = cnt.reshape(-1)  # (P,) probes, P = Q·S
@@ -329,6 +349,7 @@ def inverted_sparse_hits(
     q_hi,
     q_lo,
     q_valid,
+    rl=None,
     *,
     n_targets: int,
     max_run: int,
@@ -375,6 +396,7 @@ def inverted_sparse_hits(
         q_hi,
         q_lo,
         q_valid,
+        rl,
         n_targets=n_targets,
         max_run=max_run,
         capacity=capacity,
@@ -407,6 +429,7 @@ def inverted_sparse_hits_chunks(
     q_hi3,
     q_lo3,
     q_valid3,
+    rl=None,
     *,
     n_targets: int,
     max_run: int,
@@ -443,6 +466,7 @@ def inverted_sparse_hits_chunks(
             qh,
             ql,
             qv,
+            rl,
             n_targets=n_targets,
             max_run=max_run,
             capacity=capacity,
@@ -484,6 +508,14 @@ _EXPAND_CACHE_SLOTS = 64
 # compact expansion on by default; None falls back to the rectangular
 # (max_run, Q, S) expansion (kept for A/B tests and tiny blocks)
 COMPACT_EXPANSION = True
+# run-length lookup on by default: the compact expansion reads each
+# probe's exact run length from a device-derived (N,) side array (one
+# row gather + one int32 gather) instead of the hash+1 upper-bound
+# bisect (log2(max_run) row gathers per probe — ~a quarter of the
+# kernel's gather budget, ROADMAP r5). Off falls back to the bisect
+# (A/B tests; also the sharded chip-mesh path, which has no per-slice
+# side array).
+RL_LOOKUP = True
 # q-bounds transport on by default: the per-hit q column is replaced by
 # a (Q,) boundary vector over the tunnel (hosts reconstruct q by run
 # lengths — exact). Off falls back to fetching the q column (A/B tests).
@@ -492,6 +524,51 @@ Q_BOUNDS_IO = True
 # weight ≡ count exactly — the kernel skips the weight sort payload +
 # scatter and the host skips the weight fetch. Off for A/B tests.
 SKIP_W_UNIT_AB = True
+
+
+# device-derived (N,) int32 run lengths per index, keyed by the device
+# g4 array's identity (same lifetime discipline as _DEVICE_CACHE)
+_RL_CACHE: "OrderedDict[int, tuple]" = OrderedDict()
+_RL_CACHE_SLOTS = 2
+
+
+@jax.jit
+def _run_lengths_jit(g4):
+    """(N,) int32: length of the equal-hash run containing posting i,
+    for EVERY i (probes only read it at run starts — the lower bound
+    always lands there on a match)."""
+    n = g4.shape[0]
+    hi, lo = g4[:, 0], g4[:, 1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    isnew = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    )
+    start = jax.lax.cummax(jnp.where(isnew, iota, 0))
+    nxt = jnp.concatenate(
+        [
+            jnp.where(isnew, iota, n).astype(jnp.int32)[1:],
+            jnp.full((1,), n, jnp.int32),
+        ]
+    )
+    end = jax.lax.cummin(nxt[::-1])[::-1]  # first run start AFTER i
+    return end - start
+
+
+def device_run_lengths(inv):
+    """Cached device (N,) run-length array for an index's postings —
+    derived on device from the packed g4 (no upload, one O(N) scan
+    program per index)."""
+    _binv, g4, _starts = device_postings(inv)
+    key = id(g4)
+    ent = _RL_CACHE.get(key)
+    if ent is not None and ent[0] is g4:
+        _RL_CACHE.move_to_end(key)
+        return ent[1]
+    rl = _run_lengths_jit(g4)
+    _RL_CACHE[key] = (g4, rl)
+    while len(_RL_CACHE) > _RL_CACHE_SLOTS:
+        _RL_CACHE.popitem(last=False)
+    return rl
 
 
 def _pow2(x: int) -> int:
@@ -756,6 +833,11 @@ def _sparse_launch(
         not skip_w and not wide and Sn * max(_max_abundance(inv), 1) < 2**15
     )
     q_b = Q_BOUNDS_IO
+    rl = (
+        device_run_lengths(inv)
+        if RL_LOOKUP and expand_e is not None
+        else None
+    )
 
     def run(cap: int, e):
         return inverted_sparse_hits(
@@ -764,6 +846,7 @@ def _sparse_launch(
             q_hi,
             q_lo,
             q_valid,
+            rl if e is not None else None,
             n_targets=binv.n_targets,
             max_run=max_run,
             capacity=cap,
@@ -927,6 +1010,11 @@ def _sparse_chunks(
         and int(S) * max(_max_abundance(inv), 1) < 2**15
     )
     q_b = Q_BOUNDS_IO
+    rl = (
+        device_run_lengths(inv)
+        if RL_LOOKUP and expand_e is not None
+        else None
+    )
 
     def chunk_views(sl: int):
         # (C, ·) stacked views; the q-bounds matrix is (C, Q) and
@@ -945,6 +1033,7 @@ def _sparse_chunks(
             jnp.asarray(q_hi3),
             jnp.asarray(q_lo3),
             jnp.asarray(q_valid3),
+            rl if e is not None else None,
             n_targets=binv.n_targets,
             max_run=max_run,
             capacity=int(cap),

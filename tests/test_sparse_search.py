@@ -1082,3 +1082,53 @@ def test_warm_sparse_engine_does_not_poison_hints():
     hits2 = sparse_search(target, q_hi, q_lo, q_valid)
     for a, b in zip(hits[:4], hits2[:4]):
         assert np.array_equal(a, b)
+
+
+def test_run_length_lookup_bit_equal(monkeypatch):
+    """The run-length lookup path (RL_LOOKUP) must reproduce the
+    hash+1 upper-bound bisect bit-for-bit, including the u64-max hash
+    (whose hash+1 wraps) and run-offset tiling."""
+    import kmerseek_tpu.ops.sparse_search as sp
+
+    rng = np.random.default_rng(221)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=250, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(80, 20, pool, 222)
+    # plant the u64-max hash in several targets AND in the query
+    top = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mins, ab, offs = [], [], [0]
+    for i in range(len(target)):
+        row = target.mins[target.offsets[i]:target.offsets[i + 1]]
+        rab = target.abundances[target.offsets[i]:target.offsets[i + 1]]
+        if i % 3 == 0:
+            row = np.append(row, top)
+            rab = np.append(rab, 2)
+        mins.append(row)
+        ab.append(rab)
+        offs.append(offs[-1] + len(row))
+    target = ProteomeIndex(
+        target.config, list(target.names),
+        np.concatenate(mins), np.concatenate(ab),
+        np.asarray(offs, np.int64),
+    )
+    query = _mk_index(16, 12, pool, 223)
+    qm = [query.mins[query.offsets[i]:query.offsets[i + 1]] for i in range(len(query))]
+    qm[0] = np.append(qm[0], top)
+    qoffs = np.concatenate([[0], np.cumsum([len(r) for r in qm])]).astype(np.int64)
+    query = ProteomeIndex(
+        query.config, list(query.names), np.concatenate(qm),
+        np.ones(int(qoffs[-1]), np.int64), qoffs,
+    )
+    q_hi, q_lo, q_valid = _query_block(query)
+
+    monkeypatch.setattr(sp, "RL_LOOKUP", False)
+    ref = sparse_search(target, q_hi, q_lo, q_valid)
+    ref_tiled = sparse_search(target, q_hi, q_lo, q_valid, run_chunk=2)
+    monkeypatch.setattr(sp, "RL_LOOKUP", True)
+    got = sparse_search(target, q_hi, q_lo, q_valid)
+    got_tiled = sparse_search(target, q_hi, q_lo, q_valid, run_chunk=2)
+    for e, g in ((ref, got), (ref_tiled, got_tiled)):
+        assert g.n_hits == e.n_hits and e.n_hits > 0
+        for a, b in zip(e[:4], g[:4]):
+            assert np.array_equal(a, b)
