@@ -508,14 +508,14 @@ _EXPAND_CACHE_SLOTS = 64
 # compact expansion on by default; None falls back to the rectangular
 # (max_run, Q, S) expansion (kept for A/B tests and tiny blocks)
 COMPACT_EXPANSION = True
-# run-length lookup on by default: the compact expansion reads each
-# probe's exact run length from a device-derived (N,) side array (one
-# row gather + one int32 gather) instead of the hash+1 upper-bound
-# bisect (log2(max_run) row gathers per probe — ~a quarter of the
-# kernel's gather budget, ROADMAP r5). Off falls back to the bisect
-# (A/B tests; also the sharded chip-mesh path, which has no per-slice
-# side array).
-RL_LOOKUP = True
+# run-length lookup: MEASURED AND REJECTED as the default (on-chip A/B
+# at 512x524k, 2026-08-20: 3091 q/s vs 3819 with the bisect, bit-equal
+# — the hash+1 upper-bound bisect's 6 rounds all land inside the
+# probe's own ~41-row window, so its gathers are cache-local and
+# nearly free, while the (N,) side-array gather pays a full random HBM
+# access per probe). The path stays A/B-testable; the sharded
+# chip-mesh path never uses it (no per-slice side array).
+RL_LOOKUP = False
 # q-bounds transport on by default: the per-hit q column is replaced by
 # a (Q,) boundary vector over the tunnel (hosts reconstruct q by run
 # lengths — exact). Off falls back to fetching the q column (A/B tests).
