@@ -181,19 +181,21 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16, presort_compac
     int(trivial(jnp.int32(1)))
     latency = time.perf_counter() - t0
 
-    # best-of-sweeps (each sweep synced through its scalar dep, one
-    # measured RTT subtracted): the shared chip's transient contention
-    # spikes drag an average — a single congested sweep halved the
-    # round-5 rehearsal headline — while the best sweep reports the
-    # hardware's steady-state rate in every window (the same best-of
-    # convention the warm search legs use)
-    dep = jnp.int32(0)
+    # best-of-CHAINS: each chain is `iters` sweeps linked through the
+    # scalar dep with ONE host sync at the end (per-sweep syncs would
+    # be tunnel-RTT-dominated — a sweep's compute is single-digit ms
+    # while the RTT is tens; measured 174% "of speed-of-light" when
+    # tried, i.e. pure over-subtraction). Three chains, best taken, so
+    # one congested window's chain doesn't drag the record (a single
+    # slow chain halved the r5 rehearsal headline).
     best = None
-    for _ in range(iters):
+    for _ in range(3):
         t0 = time.perf_counter()
-        dep = sweep_jit(staged, dep)
-        final = int(dep)  # per-sweep host sync forces the chain
-        dt = max(time.perf_counter() - t0 - latency, 1e-9)
+        dep = jnp.int32(0)
+        for _ in range(iters):
+            dep = sweep_jit(staged, dep)
+        final = int(dep)  # single host fetch forces the whole chain
+        dt = max(time.perf_counter() - t0 - latency, 1e-9) / iters
         best = dt if best is None else min(best, dt)
         assert final > 0
     assert warm > 0
