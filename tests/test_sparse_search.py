@@ -1132,3 +1132,32 @@ def test_run_length_lookup_bit_equal(monkeypatch):
         assert g.n_hits == e.n_hits and e.n_hits > 0
         for a, b in zip(e[:4], g[:4]):
             assert np.array_equal(a, b)
+
+
+def test_sparse_search_stream_empty_and_single():
+    """Stream edge cases: an empty-posting index mid-stream (fallback
+    path yields the empty hit list) and a single-block stream."""
+    from kmerseek_tpu.core.index import IndexConfig, ProteomeIndex
+    from kmerseek_tpu.ops.sparse_search import sparse_search_stream
+
+    rng = np.random.default_rng(231)
+    pool = np.sort(
+        rng.choice(np.uint64(2) ** 62, size=200, replace=False).astype(np.uint64)
+    )
+    target = _mk_index(30, 15, pool, 232)
+    empty = ProteomeIndex(
+        IndexConfig(16, 5, "hp"), ["e0", "e1"],
+        np.zeros(0, np.uint64), np.zeros(0, np.int64),
+        np.zeros(3, np.int64),
+    )
+    q = _mk_index(8, 10, pool, 233)
+    blk = _query_block(q)
+
+    outs = list(sparse_search_stream(empty, [blk, blk]))
+    assert [o.n_hits for o in outs] == [0, 0]
+
+    single = list(sparse_search_stream(target, [blk]))
+    ref = sparse_search(target, *blk)
+    assert len(single) == 1 and single[0].n_hits == ref.n_hits
+    for a, b in zip(ref[:4], single[0][:4]):
+        assert np.array_equal(a, b)
