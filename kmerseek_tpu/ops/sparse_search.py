@@ -297,21 +297,34 @@ def _sparse_hits_core(
         wv = jnp.where(valid, sw, 0)
         weights = jnp.zeros(capacity, jnp.int32).at[slot].add(wv, mode="drop")
     head_slot = jnp.where(head, seg, capacity)
-    q_out = jnp.full(capacity, Q, jnp.int32).at[head_slot].set(sq, mode="drop")
     t_out = jnp.full(capacity, n_targets, jnp.int32).at[head_slot].set(
         st, mode="drop"
     )
     stats = jnp.stack([n_hits, m_total.astype(jnp.int32)])
     if q_bounds:
-        # hits sit in (q, t)-ascending slots with q = Q sentinels past
-        # the hit count, so q_out is monotone: its per-query boundary
-        # vector b[i] = #hits with q ≤ i ((Q,) int32, ~2 KB) replaces
-        # the (H,)-length q column over the tunnel entirely — hosts
-        # reconstruct q by run lengths (``_q_from_bounds``). A bounded
-        # bisect (Q lanes × log2(capacity) rounds) — not a scatter.
-        q_out = jnp.searchsorted(
-            q_out, jnp.arange(1, Q + 1, dtype=jnp.int32), side="left"
+        # per-query boundary vector b[i] = #hits with q ≤ i ((Q,)
+        # int32, ~2 KB) replaces the (H,)-length q column over the
+        # tunnel entirely — hosts reconstruct q by run lengths
+        # (``_q_from_bounds``). Derived STRAIGHT from the sorted
+        # tuples: tuples with q ≤ i are a prefix (sq ascending, Q
+        # sentinels last), so b[i] = heads among the first
+        # searchsorted(sq, i+1) tuples — one Q-lane bisect over E plus
+        # the already-computed head cumsum. This removes the
+        # (capacity,) q_out scatter from the kernel tail altogether
+        # (~1/3 of its scatter updates). Values can exceed capacity on
+        # overflow where the scatter formulation clamped; hosts clip at
+        # the fetched hit count either way (``_q_from_bounds``).
+        p = jnp.searchsorted(
+            sq, jnp.arange(1, Q + 1, dtype=sq.dtype), side="left"
+        )
+        cum = (seg + 1).astype(jnp.int32)
+        q_out = jnp.where(
+            p > 0, jnp.take(cum, jnp.maximum(p - 1, 0)), 0
         ).astype(jnp.int32)
+    else:
+        q_out = jnp.full(capacity, Q, jnp.int32).at[head_slot].set(
+            sq, mode="drop"
+        )
     if compact_io:
         # host fetch rides a ~40 MB/s tunnel: q (≤ Q < 2^15) and count
         # (≤ S < 2^15) downcast to int16 AFTER the scatters (two
