@@ -177,9 +177,15 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16, presort_compac
 
     trivial = jax.jit(lambda d: d + 1)
     int(trivial(jnp.int32(0)))
-    t0 = time.perf_counter()
-    int(trivial(jnp.int32(1)))
-    latency = time.perf_counter() - t0
+    # min of several probes: a single spiked RTT would otherwise be
+    # over-subtracted from every chain below (and min-of-chains would
+    # then select exactly the most over-subtracted chain)
+    lat_samples = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        int(trivial(jnp.int32(i + 1)))
+        lat_samples.append(time.perf_counter() - t0)
+    latency = min(lat_samples)
 
     # best-of-CHAINS: each chain is `iters` sweeps linked through the
     # scalar dep with ONE host sync at the end (per-sweep syncs would
@@ -195,7 +201,11 @@ def tpu_throughput(buckets, iters: int = 20, replicate: int = 16, presort_compac
         for _ in range(iters):
             dep = sweep_jit(staged, dep)
         final = int(dep)  # single host fetch forces the whole chain
-        dt = max(time.perf_counter() - t0 - latency, 1e-9) / iters
+        elapsed = time.perf_counter() - t0
+        # the RTT correction can never claim more than half a chain —
+        # guards the >100%-of-speed-of-light artifact if the latency
+        # estimate still exceeds a chain's true RTT share
+        dt = max(elapsed - min(latency, 0.5 * elapsed), 1e-9) / iters
         best = dt if best is None else min(best, dt)
         assert final > 0
     assert warm > 0

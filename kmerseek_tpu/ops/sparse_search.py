@@ -570,17 +570,19 @@ def _run_lengths_jit(g4):
 def device_run_lengths(inv):
     """Cached device (N,) run-length array for an index's postings —
     derived on device from the packed g4 (no upload, one O(N) scan
-    program per index)."""
+    program per index). Keyed by a WEAK reference to the index's cache
+    owner (like the other hint caches) and swept on access, so a
+    retired corpus releases its corpus-scale rl array instead of
+    pinning ~4 B/posting of HBM until LRU eviction."""
+    owner = _cache_owner(inv)
+    for k in [k for k, (ref, _v) in list(_RL_CACHE.items()) if ref() is None]:
+        del _RL_CACHE[k]
+    rl = _cache_get(_RL_CACHE, (id(owner),), owner)
+    if rl is not None:
+        return rl
     _binv, g4, _starts = device_postings(inv)
-    key = id(g4)
-    ent = _RL_CACHE.get(key)
-    if ent is not None and ent[0] is g4:
-        _RL_CACHE.move_to_end(key)
-        return ent[1]
     rl = _run_lengths_jit(g4)
-    _RL_CACHE[key] = (g4, rl)
-    while len(_RL_CACHE) > _RL_CACHE_SLOTS:
-        _RL_CACHE.popitem(last=False)
+    _cache_put(_RL_CACHE, _RL_CACHE_SLOTS, (id(owner),), owner, rl)
     return rl
 
 
@@ -859,7 +861,7 @@ def _sparse_launch(
             q_hi,
             q_lo,
             q_valid,
-            rl if e is not None else None,
+            rl,
             n_targets=binv.n_targets,
             max_run=max_run,
             capacity=cap,
@@ -1046,7 +1048,7 @@ def _sparse_chunks(
             jnp.asarray(q_hi3),
             jnp.asarray(q_lo3),
             jnp.asarray(q_valid3),
-            rl if e is not None else None,
+            rl,
             n_targets=binv.n_targets,
             max_run=max_run,
             capacity=int(cap),
